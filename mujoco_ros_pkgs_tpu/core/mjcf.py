@@ -1,0 +1,662 @@
+"""MJCF parser + model compiler targeting MuJoCo 2.3.7 semantics.
+
+Host-side (numpy) compiler producing a `Model` pytree. This is a ground-up
+implementation of the subset of the MJCF schema exercised by the reference
+server's worlds and tests (mujoco_ros/test/*.xml, mujoco_ros_sensors/test/*.xml)
+plus what RL-scale workloads need: bodies/joints/geoms/sites, defaults classes,
+inertia-from-geom, actuators (motor/position/velocity/general), fixed tendons,
+equality constraints (connect/weld/joint/tendon), sensors, keyframes.
+
+It also accepts 2.3.7-era attributes that MuJoCo 3.x rejects (e.g.
+`option/collision="all"`, mujoco_ros/test/pendulum_world.xml:2) so the
+reference worlds load unmodified.
+
+Derived quantities that require dynamics at qpos0 (dof_invweight0,
+body_invweight0, tendon_invweight0/length0, actuator_acc0) are computed in
+core/constants.py (mj_setConst analogue) using our own smooth dynamics.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from mujoco_ros_pkgs_tpu.core import types
+from mujoco_ros_pkgs_tpu.core.types import (
+    BiasType, DynType, EqType, GainType, GeomType, IntegratorType, JointType,
+    ObjType, SensorType, TrnType, WrapType,
+)
+
+_SOLREF = (0.02, 1.0)
+_SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
+
+
+# ---------------------------------------------------------------------------
+# parsing helpers
+# ---------------------------------------------------------------------------
+
+def _floats(s: str) -> np.ndarray:
+    return np.array([float(x) for x in s.split()], dtype=np.float64)
+
+
+def _attr_f(e: ET.Element, name: str, default=None, n: Optional[int] = None):
+    """Parse a float-array attribute. Partial values overlay onto the default
+    prefix-wise (MuJoCo semantics: size="0.05" -> (0.05, 0, 0), friction="1"
+    -> (1, 0.005, 0.0001)); no broadcasting."""
+    v = e.get(name)
+    if v is None:
+        if default is None:
+            return None
+        out = np.array(default, dtype=np.float64)
+        if n is not None and out.size < n:
+            out = np.concatenate([out, np.zeros(n - out.size)])
+        return out
+    parsed = _floats(v)
+    if n is None:
+        return parsed
+    base = np.array(default, dtype=np.float64) if default is not None else np.zeros(n)
+    if base.size < n:
+        base = np.concatenate([base, np.zeros(n - base.size)])
+    out = base.copy()
+    out[: min(parsed.size, n)] = parsed[:n]
+    return out
+
+
+def _attr_s(e: ET.Element, name: str, default: str = "") -> str:
+    return e.get(name, default)
+
+
+def _attr_b(e: ET.Element, name: str, default: bool) -> bool:
+    v = e.get(name)
+    if v is None:
+        return default
+    return v.lower() in ("true", "1")
+
+
+_TRISTATE = {"true": 1, "1": 1, "false": 0, "0": 0, "auto": 2}
+
+
+def _attr_tri(e: ET.Element, name: str, default: int = 2) -> int:
+    v = e.get(name)
+    if v is None:
+        return default
+    return _TRISTATE[v.lower()]
+
+
+class _Compiler:
+    """Parsed <compiler> settings."""
+
+    def __init__(self, e: Optional[ET.Element]):
+        self.angle = "degree"
+        self.eulerseq = "xyz"
+        self.autolimits = True
+        self.inertiafromgeom = "auto"
+        self.boundmass = 0.0
+        self.boundinertia = 0.0
+        self.balanceinertia = False
+        self.settotalmass = -1.0
+        if e is not None:
+            self.angle = _attr_s(e, "angle", self.angle)
+            self.eulerseq = _attr_s(e, "eulerseq", self.eulerseq)
+            self.autolimits = _attr_b(e, "autolimits", self.autolimits)
+            self.inertiafromgeom = _attr_s(e, "inertiafromgeom", self.inertiafromgeom)
+            self.boundmass = float(_attr_s(e, "boundmass", "0"))
+            self.boundinertia = float(_attr_s(e, "boundinertia", "0"))
+            self.balanceinertia = _attr_b(e, "balanceinertia", False)
+            self.settotalmass = float(_attr_s(e, "settotalmass", "-1"))
+
+    def ang(self, x):
+        """Convert parsed angles to radians if compiler angle="degree"."""
+        if self.angle == "degree":
+            return np.asarray(x) * np.pi / 180.0
+        return np.asarray(x)
+
+
+# ---------------------------------------------------------------------------
+# quaternion helpers (host-side numpy; conventions match ops/math.py)
+# ---------------------------------------------------------------------------
+
+def _quat_mul(u, v):
+    return np.array([
+        u[0] * v[0] - u[1] * v[1] - u[2] * v[2] - u[3] * v[3],
+        u[0] * v[1] + u[1] * v[0] + u[2] * v[3] - u[3] * v[2],
+        u[0] * v[2] - u[1] * v[3] + u[2] * v[0] + u[3] * v[1],
+        u[0] * v[3] + u[1] * v[2] - u[2] * v[1] + u[3] * v[0],
+    ])
+
+
+def _quat_rot(v, q):
+    u, w = q[1:4], q[0]
+    c = np.cross(u, v)
+    return v + 2.0 * (w * c + np.cross(u, c))
+
+
+def _quat_to_mat(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _mat_to_quat(m):
+    tr = np.trace(m)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.array([0.25 * s, (m[2, 1] - m[1, 2]) / s,
+                      (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s])
+    elif m[0, 0] > m[1, 1] and m[0, 0] > m[2, 2]:
+        s = np.sqrt(1.0 + m[0, 0] - m[1, 1] - m[2, 2]) * 2
+        q = np.array([(m[2, 1] - m[1, 2]) / s, 0.25 * s,
+                      (m[0, 1] + m[1, 0]) / s, (m[0, 2] + m[2, 0]) / s])
+    elif m[1, 1] > m[2, 2]:
+        s = np.sqrt(1.0 + m[1, 1] - m[0, 0] - m[2, 2]) * 2
+        q = np.array([(m[0, 2] - m[2, 0]) / s, (m[0, 1] + m[1, 0]) / s,
+                      0.25 * s, (m[1, 2] + m[2, 1]) / s])
+    else:
+        s = np.sqrt(1.0 + m[2, 2] - m[0, 0] - m[1, 1]) * 2
+        q = np.array([(m[1, 0] - m[0, 1]) / s, (m[0, 2] + m[2, 0]) / s,
+                      (m[1, 2] + m[2, 1]) / s, 0.25 * s])
+    q = q / np.linalg.norm(q)
+    return q if q[0] >= 0 else -q
+
+
+def _axis_angle_quat(axis, angle):
+    axis = np.asarray(axis, dtype=np.float64)
+    n = np.linalg.norm(axis)
+    if n < 1e-15:
+        return np.array([1.0, 0, 0, 0])
+    axis = axis / n
+    return np.concatenate([[np.cos(angle / 2)], axis * np.sin(angle / 2)])
+
+
+def _principal_inertia(full: np.ndarray):
+    """Diagonalize a full 3x3 inertia with the MINIMAL rotation from the input
+    frame (libmujoco keeps geom-frame axis order rather than sorting
+    eigenvalues — verified against the oracle; see tests/test_compile_parity).
+
+    Returns (diag(3,), quat(4,)).
+    """
+    w, V = np.linalg.eigh(full)
+    # choose the column permutation whose rotation is closest to identity
+    import itertools
+    best, best_score = None, -np.inf
+    for perm in itertools.permutations(range(3)):
+        score = sum(abs(V[i, perm[i]]) for i in range(3))
+        if score > best_score:
+            best_score, best = score, perm
+    V = V[:, list(best)]
+    w = w[list(best)]
+    # sign-fix: diagonal entries positive
+    for i in range(3):
+        if V[i, i] < 0:
+            V[:, i] *= -1
+    if np.linalg.det(V) < 0:
+        # flip the axis with the smallest diagonal alignment
+        i = int(np.argmin(np.abs(np.diag(V))))
+        V[:, i] *= -1
+    return w, _mat_to_quat(V)
+
+
+def _z2quat(vec: np.ndarray) -> np.ndarray:
+    """Minimal rotation taking +z to vec (mjuu_z2quat). Bug-compatible with
+    libmujoco: returns identity when the cross product vanishes, INCLUDING the
+    antiparallel case (harmless for the z-symmetric geoms fromto applies to)."""
+    z = vec / np.linalg.norm(vec)
+    axis = np.cross([0.0, 0, 1], z)
+    s = np.linalg.norm(axis)
+    if s < 1e-10:
+        return np.array([1.0, 0, 0, 0])
+    return _axis_angle_quat(axis, np.arctan2(s, z[2]))
+
+
+def _orientation(e: ET.Element, comp: _Compiler) -> np.ndarray:
+    """Resolve MJCF frame orientation: quat | axisangle | euler | zaxis | xyaxes."""
+    if e.get("axisangle") is not None:
+        v = _floats(e.get("axisangle"))
+        return _axis_angle_quat(v[:3], float(comp.ang(v[3])))
+    if e.get("euler") is not None:
+        eul = comp.ang(_floats(e.get("euler")))
+        q = np.array([1.0, 0, 0, 0])
+        axes = {"x": [1.0, 0, 0], "y": [0, 1.0, 0], "z": [0, 0, 1.0]}
+        for i, ax in enumerate(comp.eulerseq):
+            qi = _axis_angle_quat(axes[ax.lower()], eul[i])
+            q = _quat_mul(q, qi) if ax.islower() else _quat_mul(qi, q)
+        return q
+    if e.get("zaxis") is not None:
+        return _z2quat(_floats(e.get("zaxis")))
+    if e.get("xyaxes") is not None:
+        v = _floats(e.get("xyaxes"))
+        x = v[:3] / np.linalg.norm(v[:3])
+        y = v[3:6] - x * np.dot(x, v[3:6])
+        y = y / np.linalg.norm(y)
+        z = np.cross(x, y)
+        return _mat_to_quat(np.stack([x, y, z], axis=1))
+    q = _attr_f(e, "quat", [1.0, 0, 0, 0])
+    return q / np.linalg.norm(q)
+
+
+# ---------------------------------------------------------------------------
+# defaults tree
+# ---------------------------------------------------------------------------
+
+_DEFAULT_FIELDS = ("joint", "geom", "site", "tendon", "equality", "motor",
+                   "position", "velocity", "general", "pair")
+
+
+def _collect_defaults(root: ET.Element) -> Dict[str, Dict[str, Dict[str, str]]]:
+    """Flatten the <default> class tree into {class: {elemtype: {attr: val}}}."""
+    out: Dict[str, Dict[str, Dict[str, str]]] = {}
+
+    def walk(e: ET.Element, inherited: Dict[str, Dict[str, str]]):
+        cls = e.get("class", "main")
+        merged = {k: dict(v) for k, v in inherited.items()}
+        for child in e:
+            if child.tag in _DEFAULT_FIELDS:
+                d = merged.setdefault(child.tag, {})
+                d.update(child.attrib)
+        out[cls] = merged
+        for child in e:
+            if child.tag == "default":
+                walk(child, merged)
+
+    found = False
+    for e in root:
+        if e.tag == "default":
+            walk(e, {})
+            found = True
+    if not found or "main" not in out:
+        out.setdefault("main", {})
+    return out
+
+
+def _apply_defaults(e: ET.Element, defaults: Dict[str, Dict[str, str]],
+                    elemtype: str) -> ET.Element:
+    """Return a shallow element clone with class defaults filled in."""
+    merged = dict(defaults.get(elemtype, {}))
+    merged.pop("class", None)
+    merged.update(e.attrib)
+    clone = ET.Element(e.tag, merged)
+    clone.extend(list(e))
+    return clone
+
+
+# ---------------------------------------------------------------------------
+# geom inertia
+# ---------------------------------------------------------------------------
+
+def _geom_volume(gtype: int, size: np.ndarray) -> float:
+    r = size[0]
+    if gtype == GeomType.SPHERE:
+        return 4.0 / 3.0 * np.pi * r ** 3
+    if gtype == GeomType.CAPSULE:
+        return 4.0 / 3.0 * np.pi * r ** 3 + 2.0 * size[1] * np.pi * r * r
+    if gtype == GeomType.CYLINDER:
+        return 2.0 * size[1] * np.pi * r * r
+    if gtype == GeomType.ELLIPSOID:
+        return 4.0 / 3.0 * np.pi * size[0] * size[1] * size[2]
+    if gtype == GeomType.BOX:
+        return 8.0 * size[0] * size[1] * size[2]
+    return 0.0
+
+
+def _geom_inertia_diag(gtype: int, size: np.ndarray, mass: float) -> np.ndarray:
+    """Diagonal rotational inertia of a geom about its own frame (= principal)."""
+    r = size[0]
+    if gtype == GeomType.SPHERE:
+        i = 0.4 * mass * r * r
+        return np.array([i, i, i])
+    if gtype == GeomType.CAPSULE:
+        hl = size[1]
+        v_sph = 4.0 / 3.0 * np.pi * r ** 3
+        v_cyl = 2.0 * hl * np.pi * r * r
+        ms = mass * v_sph / (v_sph + v_cyl)
+        mc = mass - ms
+        iz = 0.4 * ms * r * r + 0.5 * mc * r * r
+        ixy = (mc * (3 * r * r + 4 * hl * hl) / 12.0
+               + ms * (0.4 * r * r + hl * hl + 0.75 * hl * r))
+        return np.array([ixy, ixy, iz])
+    if gtype == GeomType.CYLINDER:
+        hl = size[1]
+        iz = 0.5 * mass * r * r
+        ixy = mass * (3 * r * r + 4 * hl * hl) / 12.0
+        return np.array([ixy, ixy, iz])
+    if gtype == GeomType.ELLIPSOID:
+        a, b, c = size
+        return mass / 5.0 * np.array([b * b + c * c, a * a + c * c, a * a + b * b])
+    if gtype == GeomType.BOX:
+        sx, sy, sz = size
+        return mass / 3.0 * np.array([sy * sy + sz * sz, sx * sx + sz * sz,
+                                      sx * sx + sy * sy])
+    return np.zeros(3)
+
+
+def _geom_rbound(gtype: int, size: np.ndarray) -> float:
+    if gtype == GeomType.PLANE or gtype == GeomType.HFIELD:
+        return 0.0
+    if gtype == GeomType.SPHERE:
+        return size[0]
+    if gtype in (GeomType.CAPSULE, GeomType.CYLINDER):
+        return size[0] + size[1] if gtype == GeomType.CAPSULE else float(
+            np.sqrt(size[0] ** 2 + size[1] ** 2))
+    if gtype == GeomType.ELLIPSOID:
+        return float(np.max(size))
+    if gtype == GeomType.BOX:
+        return float(np.linalg.norm(size))
+    return float(np.max(size))
+
+
+# ---------------------------------------------------------------------------
+# intermediate spec objects
+# ---------------------------------------------------------------------------
+
+class _Body:
+    def __init__(self):
+        self.name = ""
+        self.parentid = 0
+        self.pos = np.zeros(3)
+        self.quat = np.array([1.0, 0, 0, 0])
+        self.mocap = False
+        self.gravcomp = 0.0
+        self.childclass: Optional[str] = None
+        self.explicit_inertial = False
+        self.ipos = np.zeros(3)
+        self.iquat = np.array([1.0, 0, 0, 0])
+        self.mass = 0.0
+        self.inertia = np.zeros(3)
+        self.joints: List[int] = []
+        self.geoms: List[int] = []
+
+
+class _Joint:
+    pass
+
+
+class _Geom:
+    pass
+
+
+# ---------------------------------------------------------------------------
+
+
+def load_model(path: str, dtype=None) -> types.Model:
+    """Load and compile an MJCF file (mj_loadXML analogue)."""
+    with open(path) as f:
+        xml = f.read()
+    return load_model_from_string(xml, dtype=dtype, base_dir=os.path.dirname(path))
+
+
+def load_model_from_string(xml: str, dtype=None, base_dir: str = ".") -> types.Model:
+    """Compile an MJCF string to a Model (mirrors the reference's VFS string-load
+    path, mujoco_ros/src/mujoco_env.cpp:771-911)."""
+    root = ET.fromstring(xml)
+    if root.tag != "mujoco":
+        raise ValueError(f"expected <mujoco> root, got <{root.tag}>")
+    m = _compile(root, base_dir)
+    if dtype is not None:
+        m = m.astype(dtype)
+    return m
+
+
+def _compile(root: ET.Element, base_dir: str) -> types.Model:
+    import jax.numpy as jnp
+
+    comp = _Compiler(root.find("compiler"))
+    defaults_tree = _collect_defaults(root)
+
+    # ---------------- option ----------------
+    oe = root.find("option")
+    flags = 0
+    timestep, gravity = 0.002, np.array([0.0, 0, -9.81])
+    wind = np.zeros(3)
+    magnetic = np.array([0.0, -0.5, 0.0])
+    density = viscosity = 0.0
+    impratio, o_margin = 1.0, 0.0
+    o_solref, o_solimp = np.array(_SOLREF), np.array(_SOLIMP)
+    integrator, cone = int(IntegratorType.EULER), int(types.ConeType.PYRAMIDAL)
+    solver, iterations, ls_iterations = int(types.SolverType.NEWTON), 100, 50
+    tolerance, ls_tolerance = 1e-8, 0.01
+    if oe is not None:
+        timestep = float(_attr_s(oe, "timestep", str(timestep)))
+        gravity = _attr_f(oe, "gravity", gravity)
+        wind = _attr_f(oe, "wind", wind)
+        magnetic = _attr_f(oe, "magnetic", magnetic)
+        density = float(_attr_s(oe, "density", "0"))
+        viscosity = float(_attr_s(oe, "viscosity", "0"))
+        impratio = float(_attr_s(oe, "impratio", "1"))
+        o_margin = float(_attr_s(oe, "o_margin", "0"))
+        o_solref = _attr_f(oe, "o_solref", o_solref)
+        o_solimp = _attr_f(oe, "o_solimp", o_solimp)
+        integrator = {"Euler": 0, "RK4": 1, "implicit": 2, "implicitfast": 3}[
+            _attr_s(oe, "integrator", "Euler")]
+        cone = {"pyramidal": 0, "elliptic": 1}[_attr_s(oe, "cone", "pyramidal")]
+        solver = {"PGS": 0, "CG": 1, "Newton": 2}[_attr_s(oe, "solver", "Newton")]
+        iterations = int(_attr_s(oe, "iterations", "100"))
+        ls_iterations = int(_attr_s(oe, "ls_iterations", "50"))
+        tolerance = float(_attr_s(oe, "tolerance", "1e-8"))
+        ls_tolerance = float(_attr_s(oe, "ls_tolerance", "0.01"))
+        fe = oe.find("flag")
+        if fe is not None:
+            names = {"constraint": 1 << 0, "equality": 1 << 1,
+                     "frictionloss": 1 << 2, "limit": 1 << 3, "contact": 1 << 4,
+                     "passive": 1 << 5, "gravity": 1 << 6, "clampctrl": 1 << 7,
+                     "warmstart": 1 << 8, "filterparent": 1 << 9,
+                     "actuation": 1 << 10, "refsafe": 1 << 11, "sensor": 1 << 12}
+            for k, bit in names.items():
+                if fe.get(k, "enable") == "disable":
+                    flags |= bit
+        # 2.3.7-era: collision="all|predefined|dynamic" — "predefined" keeps only
+        # explicit <pair>s; model it via a flag on the compiler below.
+        collision_mode = _attr_s(oe, "collision", "all")
+    else:
+        collision_mode = "all"
+
+    # ---------------- storage ----------------
+    bodies: List[_Body] = []
+    jnts: List[Any] = []
+    geoms: List[Any] = []
+    sites: List[Any] = []
+
+    world = _Body()
+    world.name = "world"
+    world.parentid = 0
+    bodies.append(world)
+
+    def parse_joint(e, bclass, bodyid):
+        e = _apply_defaults(e, defaults_tree.get(bclass, defaults_tree["main"]),
+                            "joint")
+        j = _Joint()
+        j.name = _attr_s(e, "name")
+        if e.tag == "freejoint":
+            j.type = int(JointType.FREE)
+        else:
+            j.type = {"free": 0, "ball": 1, "slide": 2, "hinge": 3}[
+                _attr_s(e, "type", "hinge")]
+        j.bodyid = bodyid
+        j.pos = _attr_f(e, "pos", [0, 0, 0])
+        j.axis = _attr_f(e, "axis", [0, 0, 1])
+        j.axis = j.axis / np.linalg.norm(j.axis)
+        j.stiffness = float(_attr_s(e, "stiffness", "0"))
+        rng = _attr_f(e, "range", [0, 0])
+        if j.type in (int(JointType.HINGE), int(JointType.BALL)):
+            rng = comp.ang(rng)
+        j.range = rng
+        limited = _attr_tri(e, "limited", 2)
+        if limited == 2:  # auto
+            limited = 1 if (comp.autolimits and e.get("range") is not None) else 0
+        j.limited = limited
+        frcrng = _attr_f(e, "actuatorfrcrange", [0, 0])
+        j.actfrcrange = frcrng
+        afl = _attr_tri(e, "actuatorfrclimited", 2)
+        if afl == 2:
+            afl = 1 if (comp.autolimits and e.get("actuatorfrcrange") is not None) else 0
+        j.actfrclimited = afl
+        j.solref = _attr_f(e, "solreflimit", _SOLREF)
+        j.solimp = _attr_f(e, "solimplimit", _SOLIMP)
+        j.solref_fri = _attr_f(e, "solreffriction", _SOLREF)
+        j.solimp_fri = _attr_f(e, "solimpfriction", _SOLIMP)
+        j.margin = float(_attr_s(e, "margin", "0"))
+        ref = float(_attr_s(e, "ref", "0"))
+        springref = float(_attr_s(e, "springref", "0"))
+        if j.type in (int(JointType.HINGE),):
+            ref, springref = float(comp.ang(ref)), float(comp.ang(springref))
+        j.ref, j.springref = ref, springref
+        j.armature = float(_attr_s(e, "armature", "0"))
+        j.damping = float(_attr_s(e, "damping", "0"))
+        j.frictionloss = float(_attr_s(e, "frictionloss", "0"))
+        jnts.append(j)
+        return len(jnts) - 1
+
+    def parse_geom(e, bclass, bodyid):
+        e = _apply_defaults(e, defaults_tree.get(bclass, defaults_tree["main"]),
+                            "geom")
+        g = _Geom()
+        g.name = _attr_s(e, "name")
+        g.type = {"plane": 0, "hfield": 1, "sphere": 2, "capsule": 3,
+                  "ellipsoid": 4, "cylinder": 5, "box": 6, "mesh": 7}[
+            _attr_s(e, "type", "sphere")]
+        g.bodyid = bodyid
+        g.contype = int(_attr_s(e, "contype", "1"))
+        g.conaffinity = int(_attr_s(e, "conaffinity", "1"))
+        g.condim = int(_attr_s(e, "condim", "3"))
+        g.priority = int(_attr_s(e, "priority", "0"))
+        g.size = _attr_f(e, "size", [0, 0, 0], n=3)
+        g.friction = _attr_f(e, "friction", [1.0, 0.005, 0.0001], n=3)
+        g.solmix = float(_attr_s(e, "solmix", "1"))
+        g.solref = _attr_f(e, "solref", _SOLREF)
+        g.solimp = _attr_f(e, "solimp", _SOLIMP)
+        g.margin = float(_attr_s(e, "margin", "0"))
+        g.gap = float(_attr_s(e, "gap", "0"))
+        g.pos = _attr_f(e, "pos", [0, 0, 0])
+        g.quat = _orientation(e, comp)
+        if e.get("fromto") is not None:
+            ft = _floats(e.get("fromto"))
+            a, b = ft[:3], ft[3:]
+            g.pos = 0.5 * (a + b)
+            d = b - a
+            g.quat = _z2quat(d)
+            g.size[1] = np.linalg.norm(d) / 2.0
+        # mass/density
+        density = float(_attr_s(e, "density", "1000"))
+        vol = _geom_volume(g.type, g.size)
+        if e.get("mass") is not None:
+            g.mass = float(e.get("mass"))
+        else:
+            g.mass = density * vol
+        g.rbound = _geom_rbound(g.type, g.size)
+        geoms.append(g)
+        return len(geoms) - 1
+
+    def parse_site(e, bclass, bodyid):
+        e = _apply_defaults(e, defaults_tree.get(bclass, defaults_tree["main"]),
+                            "site")
+        s = _Geom()
+        s.name = _attr_s(e, "name")
+        s.bodyid = bodyid
+        s.pos = _attr_f(e, "pos", [0, 0, 0])
+        s.quat = _orientation(e, comp)
+        if e.get("fromto") is not None:
+            ft = _floats(e.get("fromto"))
+            a, b = ft[:3], ft[3:]
+            s.pos = 0.5 * (a + b)
+            s.quat = _z2quat(b - a)
+        sites.append(s)
+        return len(sites) - 1
+
+    def walk_body(e: ET.Element, parentid: int, parent_class: str):
+        b = _Body()
+        b.name = _attr_s(e, "name")
+        b.parentid = parentid
+        bclass = e.get("childclass", parent_class)
+        b.childclass = bclass
+        b.pos = _attr_f(e, "pos", [0, 0, 0])
+        b.quat = _orientation(e, comp)
+        b.mocap = _attr_b(e, "mocap", False)
+        b.gravcomp = float(_attr_s(e, "gravcomp", "0"))
+        bodies.append(b)
+        bid = len(bodies) - 1
+
+        ie = e.find("inertial")
+        if ie is not None:
+            b.explicit_inertial = True
+            b.ipos = _attr_f(ie, "pos", [0, 0, 0])
+            b.iquat = _orientation(ie, comp)
+            b.mass = float(ie.get("mass"))
+            if ie.get("diaginertia") is not None:
+                b.inertia = _floats(ie.get("diaginertia"))
+            elif ie.get("fullinertia") is not None:
+                fi = _floats(ie.get("fullinertia"))
+                M = np.array([[fi[0], fi[3], fi[4]],
+                              [fi[3], fi[1], fi[5]],
+                              [fi[4], fi[5], fi[2]]])
+                w, q = _principal_inertia(M)
+                b.inertia = w
+                b.iquat = _quat_mul(b.iquat, q)
+
+        for child in e:
+            if child.tag in ("joint", "freejoint"):
+                b.joints.append(parse_joint(child, bclass, bid))
+            elif child.tag == "geom":
+                b.geoms.append(parse_geom(child, bclass, bid))
+            elif child.tag == "site":
+                parse_site(child, bclass, bid)
+            elif child.tag == "body":
+                walk_body(child, bid, bclass)
+
+    wb = root.find("worldbody")
+    if wb is None:
+        raise ValueError("no <worldbody>")
+    for child in wb:
+        if child.tag == "geom":
+            world.geoms.append(parse_geom(child, "main", 0))
+        elif child.tag == "site":
+            parse_site(child, "main", 0)
+        elif child.tag == "body":
+            walk_body(child, 0, "main")
+
+    # ---------------- inertia from geoms ----------------
+    for b in bodies[1:]:
+        use_geom = (comp.inertiafromgeom == "true"
+                    or (comp.inertiafromgeom == "auto" and not b.explicit_inertial))
+        if use_geom and b.geoms:
+            masses = np.array([geoms[g].mass for g in b.geoms])
+            coms = np.stack([geoms[g].pos for g in b.geoms])
+            mass = masses.sum()
+            com = ((masses[:, None] * coms).sum(0) / mass) if mass > 1e-15 else np.zeros(3)
+            full = np.zeros((3, 3))
+            for gi in b.geoms:
+                g = geoms[gi]
+                R = _quat_to_mat(g.quat)
+                I_g = np.diag(_geom_inertia_diag(g.type, g.size, g.mass))
+                d = g.pos - com
+                full += (R @ I_g @ R.T
+                         + g.mass * (np.dot(d, d) * np.eye(3) - np.outer(d, d)))
+            w, q = _principal_inertia(full)
+            b.mass = float(mass)
+            b.inertia = np.maximum(w, 0.0)
+            b.ipos = com
+            b.iquat = q
+        elif not b.explicit_inertial:
+            b.mass = 0.0
+            b.inertia = np.zeros(3)
+        b.mass = max(b.mass, comp.boundmass)
+        b.inertia = np.maximum(b.inertia, comp.boundinertia)
+        if comp.balanceinertia:
+            pass  # not needed by the reference worlds
+
+    from mujoco_ros_pkgs_tpu.core.assemble import _assemble
+    n_out = _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites,
+                      dict(timestep=timestep, gravity=gravity, wind=wind,
+                           magnetic=magnetic, density=density,
+                           viscosity=viscosity, impratio=impratio,
+                           o_margin=o_margin, o_solref=o_solref,
+                           o_solimp=o_solimp, integrator=integrator, cone=cone,
+                           solver=solver, iterations=iterations,
+                           ls_iterations=ls_iterations, tolerance=tolerance,
+                           ls_tolerance=ls_tolerance, disableflags=flags,
+                           collision_mode=collision_mode))
+    return n_out

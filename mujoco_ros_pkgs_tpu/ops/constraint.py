@@ -1,0 +1,36 @@
+"""Constraint assembly + solve (mj_fwdConstraint analogue).
+
+Stub: smooth-only path when the model has no constraint sources; the full
+masked fixed-shape efc assembly + Newton solver lands here.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mujoco_ros_pkgs_tpu.core.types import Data, DisableBit, Model
+
+
+def _has_constraints(m: Model) -> bool:
+    import numpy as np
+    if m.opt.disableflags & DisableBit.CONSTRAINT:
+        return False
+    if m.ncon_max and not (m.opt.disableflags & DisableBit.CONTACT):
+        return True
+    if m.neq and not (m.opt.disableflags & DisableBit.EQUALITY):
+        return True
+    if any(m.jnt_limited) or any(m.tendon_limited):
+        if not (m.opt.disableflags & DisableBit.LIMIT):
+            return True
+    if (np.any(np.asarray(m.dof_frictionloss) > 0)
+            and not (m.opt.disableflags & DisableBit.FRICTIONLOSS)):
+        return True
+    return False
+
+
+def fwd_constraint(m: Model, d: Data) -> Data:
+    if not _has_constraints(m):
+        return d.replace(qacc=d.qacc_smooth,
+                         qfrc_constraint=jnp.zeros_like(d.qacc_smooth))
+    from mujoco_ros_pkgs_tpu.ops import efc
+    return efc.fwd_constraint(m, d)

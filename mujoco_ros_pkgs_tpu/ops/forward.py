@@ -1,0 +1,201 @@
+"""Forward dynamics pipeline + integrators: the mj_forward / mj_step analogue.
+
+`step(m, d)` is THE hot function: jit it, vmap it over envs, shard the env axis
+over a mesh. Plugin-style hooks (reference: mjcb_control / mjcb_passive set at
+mujoco_ros/src/mujoco_env.cpp:150-153, fan-out in src/callbacks.cpp:131-143)
+are pure functions `hook(m, d) -> d` fused into the same compiled step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mujoco_ros_pkgs_tpu.core.types import (
+    Contact, Data, DisableBit, IntegratorType, JointType, Model,
+)
+from mujoco_ros_pkgs_tpu.ops import math as mmath
+from mujoco_ros_pkgs_tpu.ops import smooth
+
+Hook = Optional[Callable[[Model, Data], Data]]
+
+
+def make_data(m: Model, dtype=None) -> Data:
+    """Fresh Data at qpos0 (mj_makeData + mj_resetData analogue)."""
+    dtype = dtype or m.qpos0.dtype
+
+    def z(*shape):
+        return jnp.zeros(shape, dtype=dtype)
+
+    ncon = max(m.ncon_max, 1)
+    contact = Contact(
+        dist=jnp.full((ncon,), 1e10, dtype=dtype), pos=z(ncon, 3),
+        frame=jnp.tile(jnp.eye(3, dtype=dtype), (ncon, 1, 1)),
+        includemargin=z(ncon), friction=z(ncon, 5),
+        solref=z(ncon, 2), solimp=z(ncon, 5),
+        geom1=(-1,) * ncon, geom2=(-1,) * ncon, dim=(3,) * ncon)
+
+    mocap_pos = z(m.nmocap, 3)
+    mocap_quat = jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype), (m.nmocap, 1))
+    for b in range(m.nbody):
+        mid = m.body_mocapid[b]
+        if mid >= 0:
+            mocap_pos = mocap_pos.at[mid].set(m.body_pos[b].astype(dtype))
+            mocap_quat = mocap_quat.at[mid].set(m.body_quat[b].astype(dtype))
+
+    return Data(
+        time=jnp.zeros((), dtype=dtype),
+        qpos=m.qpos0.astype(dtype), qvel=z(m.nv), act=z(m.na), ctrl=z(m.nu),
+        qfrc_applied=z(m.nv), xfrc_applied=z(m.nbody, 6),
+        eq_active=jnp.asarray(np.array(m.eq_active0, dtype=bool)),
+        mocap_pos=mocap_pos, mocap_quat=mocap_quat,
+        xpos=z(m.nbody, 3),
+        xquat=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype), (m.nbody, 1)),
+        xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.nbody, 1, 1)),
+        xipos=z(m.nbody, 3), ximat=jnp.tile(jnp.eye(3, dtype=dtype), (m.nbody, 1, 1)),
+        xanchor=z(m.njnt, 3), xaxis=z(m.njnt, 3),
+        geom_xpos=z(m.ngeom, 3), geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.ngeom, 1, 1)),
+        site_xpos=z(m.nsite, 3), site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.nsite, 1, 1)),
+        subtree_com=z(m.nbody, 3), cinert=z(m.nbody, 10), cdof=z(m.nv, 6),
+        cvel=z(m.nbody, 6), cdof_dot=z(m.nv, 6),
+        qM=z(m.nv, m.nv), qLD=z(m.nv, m.nv),
+        qfrc_bias=z(m.nv), qfrc_passive=z(m.nv), qfrc_actuator=z(m.nv),
+        qfrc_smooth=z(m.nv), qacc_smooth=z(m.nv), qfrc_constraint=z(m.nv),
+        qacc=z(m.nv), qacc_warmstart=z(m.nv),
+        actuator_length=z(m.nu), actuator_velocity=z(m.nu),
+        actuator_force=z(m.nu), actuator_moment=z(m.nu, m.nv), act_dot=z(m.na),
+        ten_length=z(m.ntendon), ten_velocity=z(m.ntendon),
+        ten_J=z(m.ntendon, m.nv),
+        contact=contact, efc_force_contact=z(1),
+        sensordata=z(m.nsensordata),
+        rng=jax.random.PRNGKey(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def forward(m: Model, d: Data, control_hook: Hook = None,
+            passive_hook: Hook = None) -> Data:
+    """mj_forward analogue: full dynamics computation, no integration."""
+    from mujoco_ros_pkgs_tpu.ops import collision, constraint, sensor
+
+    d = smooth.fwd_position_smooth(m, d)
+    d = collision.collide(m, d)
+    d = sensor.sensor_pos(m, d)
+    d = smooth.com_vel(m, d)
+    d = smooth.passive(m, d)
+    if passive_hook is not None:
+        d = passive_hook(m, d)
+    d = smooth.rne(m, d)
+    d = sensor.sensor_vel(m, d)
+    if control_hook is not None:
+        d = control_hook(m, d)
+    d = smooth.actuation(m, d)
+    d = smooth.fwd_acceleration_smooth(m, d)
+    d = constraint.fwd_constraint(m, d)
+    d = sensor.sensor_acc(m, d)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# position integration (mj_integratePos)
+# ---------------------------------------------------------------------------
+
+def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
+                  dt) -> jax.Array:
+    out = qpos
+    for j in range(m.njnt):
+        jt = m.jnt_type[j]
+        qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        if jt == int(JointType.FREE):
+            out = out.at[qadr:qadr + 3].set(
+                qpos[qadr:qadr + 3] + dt * qvel[vadr:vadr + 3])
+            q = mmath.quat_integrate(qpos[qadr + 3:qadr + 7],
+                                     qvel[vadr + 3:vadr + 6], dt)
+            out = out.at[qadr + 3:qadr + 7].set(q)
+        elif jt == int(JointType.BALL):
+            q = mmath.quat_integrate(qpos[qadr:qadr + 4], qvel[vadr:vadr + 3], dt)
+            out = out.at[qadr:qadr + 4].set(q)
+        else:
+            out = out.at[qadr].set(qpos[qadr] + dt * qvel[vadr])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# integrators
+# ---------------------------------------------------------------------------
+
+def _advance(m: Model, d: Data, qacc: jax.Array, act_dot: jax.Array,
+             qvel_for_pos: jax.Array = None) -> Data:
+    h = m.opt.timestep.astype(d.qpos.dtype)
+    qvel = d.qvel + h * qacc
+    act = d.act + h * act_dot if m.na else d.act
+    qpos = integrate_pos(m, d.qpos, qvel_for_pos if qvel_for_pos is not None else qvel, h)
+    return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
+
+
+def euler(m: Model, d: Data) -> Data:
+    """mj_Euler: semi-implicit, with implicit joint damping when present."""
+    h = m.opt.timestep.astype(d.qpos.dtype)
+    has_damping = bool(np.any(np.asarray(m.dof_damping) > 0))
+    qacc = d.qacc
+    if has_damping:
+        MhB = d.qM + h * jnp.diag(m.dof_damping)
+        qfrc = d.qfrc_smooth + d.qfrc_constraint
+        qacc = jax.scipy.linalg.cho_solve(
+            (jax.scipy.linalg.cholesky(MhB, lower=True), True), qfrc)
+    return _advance(m, d, qacc, d.act_dot)
+
+
+_RK4_A = np.array([[0.5, 0, 0], [0, 0.5, 0], [0, 0, 1.0]])
+_RK4_B = np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6])
+
+
+def rk4(m: Model, d: Data, control_hook: Hook = None,
+        passive_hook: Hook = None) -> Data:
+    """mj_RungeKutta(4)."""
+    h = m.opt.timestep.astype(d.qpos.dtype)
+    d0 = d
+    qvels = [d.qvel]
+    qaccs = [d.qacc]
+    act_dots = [d.act_dot]
+    for i in range(3):
+        a = _RK4_A[i]
+        dqvel = sum(a[j] * qvels[j] for j in range(i + 1))
+        dqacc = sum(a[j] * qaccs[j] for j in range(i + 1))
+        dact = sum(a[j] * act_dots[j] for j in range(i + 1))
+        qpos_i = integrate_pos(m, d0.qpos, dqvel, h)
+        di = d0.replace(qpos=qpos_i, qvel=d0.qvel + h * dqacc,
+                        act=d0.act + h * dact if m.na else d0.act,
+                        time=d0.time + float(np.sum(_RK4_A[i])) * h)
+        di = forward(m, di, control_hook, passive_hook)
+        qvels.append(di.qvel)
+        qaccs.append(di.qacc)
+        act_dots.append(di.act_dot)
+    Fv = sum(_RK4_B[j] * qvels[j] for j in range(4))
+    Fa = sum(_RK4_B[j] * qaccs[j] for j in range(4))
+    Fd = sum(_RK4_B[j] * act_dots[j] for j in range(4))
+    qpos = integrate_pos(m, d0.qpos, Fv, h)
+    return d0.replace(qpos=qpos, qvel=d0.qvel + h * Fa,
+                      act=d0.act + h * Fd if m.na else d0.act,
+                      time=d0.time + h)
+
+
+def step(m: Model, d: Data, control_hook: Hook = None,
+         passive_hook: Hook = None) -> Data:
+    """mj_step analogue: forward dynamics + integration.
+
+    (mujoco_ros steps this from its physics thread, mujoco_env.cpp:436-639;
+    here it is a pure function — pause/run/step-N semantics live in server/.)
+    """
+    d = forward(m, d, control_hook, passive_hook)
+    if m.opt.integrator == int(IntegratorType.RK4):
+        return rk4(m, d, control_hook, passive_hook)
+    # EULER / IMPLICIT (implicit falls back to Euler-with-implicit-damping)
+    d = d.replace(qacc_warmstart=d.qacc)
+    return euler(m, d)

@@ -1,0 +1,284 @@
+"""Analytic narrowphase collision functions -> masked fixed-capacity contacts.
+
+The pair list is enumerated at compile time (core/assemble.py, mirroring
+mj_collision's body-filter + contype/conaffinity rules); each geom-type pair
+has a fixed contact capacity, so the total contact set has a static shape —
+inactive slots are masked by dist > includemargin. This is the TPU answer to
+MuJoCo's dynamic mjData.contact array.
+
+Parameter mixing mirrors mj_contactParam (priority, solmix, solref/solimp
+blending, elementwise-max friction). Runtime-mutable geom properties (the
+reference's set_geom_properties service, mujoco_ros/src/callbacks.cpp:508-592)
+work because params are computed from traced geom arrays, not baked in.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_ros_pkgs_tpu.core.types import Contact, Data, GeomType, Model
+from mujoco_ros_pkgs_tpu.ops import math as mmath
+
+
+# ---------------------------------------------------------------------------
+# per-pair parameter mixing (mj_contactParam)
+# ---------------------------------------------------------------------------
+
+def _contact_param(m: Model, g1: int, g2: int):
+    p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+    margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+    gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
+    if p1 != p2:
+        hi = g1 if p1 > p2 else g2
+        condim = m.geom_condim[hi]
+        fri = m.geom_friction[hi]
+        solref = m.geom_solref[hi]
+        solimp = m.geom_solimp[hi]
+    else:
+        condim = max(m.geom_condim[g1], m.geom_condim[g2])
+        s1, s2 = m.geom_solmix[g1], m.geom_solmix[g2]
+        both_small = (s1 < mmath.MINVAL) & (s2 < mmath.MINVAL)
+        mix = jnp.where(both_small, 0.5,
+                        jnp.where(s1 < mmath.MINVAL, 0.0,
+                                  jnp.where(s2 < mmath.MINVAL, 1.0,
+                                            s1 / jnp.maximum(s1 + s2, mmath.MINVAL))))
+        r1, r2 = m.geom_solref[g1], m.geom_solref[g2]
+        standard = (r1[0] > 0) & (r2[0] > 0)
+        solref = jnp.where(standard, mix * r1 + (1 - mix) * r2,
+                           jnp.minimum(r1, r2))
+        solimp = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
+        fri = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
+    friction5 = jnp.stack([fri[0], fri[0], fri[1], fri[2], fri[2]])
+    return condim, friction5, solref, solimp, margin, gap
+
+
+# ---------------------------------------------------------------------------
+# geometry helpers
+# ---------------------------------------------------------------------------
+
+def _make_frame(normal: jax.Array) -> jax.Array:
+    """Build a right-handed frame with rows (normal, tan1, tan2) (mju_makeFrame)."""
+    n = mmath.normalize(normal)
+    # pick axis least aligned with n
+    a = jnp.where(jnp.abs(n[1]) < 0.5,
+                  jnp.array([0.0, 1.0, 0.0], dtype=n.dtype),
+                  jnp.array([0.0, 0.0, 1.0], dtype=n.dtype))
+    t1 = mmath.normalize(jnp.cross(a, n))
+    t2 = jnp.cross(n, t1)
+    return jnp.stack([n, t1, t2])
+
+
+def _seg_seg_closest(p1, d1, h1, p2, d2, h2):
+    """Closest points between segments p±h*d (centers p, unit dirs d, half-len h)."""
+    r = p1 - p2
+    a = jnp.dot(d1, d1)
+    e = jnp.dot(d2, d2)
+    b = jnp.dot(d1, d2)
+    c = jnp.dot(d1, r)
+    f = jnp.dot(d2, r)
+    denom = a * e - b * b
+    s = jnp.where(jnp.abs(denom) > 1e-12, (b * f - c * e) / jnp.where(
+        jnp.abs(denom) > 1e-12, denom, 1.0), 0.0)
+    s = jnp.clip(s, -h1, h1)
+    t = (b * s + f) / jnp.maximum(e, mmath.MINVAL)
+    t = jnp.clip(t, -h2, h2)
+    s2 = jnp.clip((b * t - c) / jnp.maximum(a, mmath.MINVAL), -h1, h1)
+    return p1 + s2 * d1, p2 + t * d2
+
+
+# ---------------------------------------------------------------------------
+# narrowphase primitives: each returns (dist[k], pos[k,3], frame[k,3,3])
+# normal points from geom1 into geom2 (MuJoCo convention)
+# ---------------------------------------------------------------------------
+
+def _plane_sphere(m, d, g1, g2):
+    n = d.geom_xmat[g1][:, 2]
+    p0 = d.geom_xpos[g1]
+    c = d.geom_xpos[g2]
+    r = m.geom_size[g2, 0]
+    cdist = jnp.dot(n, c - p0)
+    dist = cdist - r
+    pos = c - n * (r + 0.5 * dist)
+    return dist[None], pos[None], _make_frame(n)[None]
+
+
+def _plane_capsule(m, d, g1, g2):
+    n = d.geom_xmat[g1][:, 2]
+    p0 = d.geom_xpos[g1]
+    c = d.geom_xpos[g2]
+    axis = d.geom_xmat[g2][:, 2]
+    r, hl = m.geom_size[g2, 0], m.geom_size[g2, 1]
+    frame = _make_frame(n)
+    dists, poss = [], []
+    for sgn in (1.0, -1.0):
+        e = c + sgn * hl * axis
+        cdist = jnp.dot(n, e - p0)
+        dist = cdist - r
+        dists.append(dist)
+        poss.append(e - n * (r + 0.5 * dist))
+    return jnp.stack(dists), jnp.stack(poss), jnp.stack([frame, frame])
+
+
+def _plane_box(m, d, g1, g2):
+    n = d.geom_xmat[g1][:, 2]
+    p0 = d.geom_xpos[g1]
+    c = d.geom_xpos[g2]
+    R = d.geom_xmat[g2]
+    size = m.geom_size[g2]
+    frame = _make_frame(n)
+    # 8 corners
+    corners = []
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            for sz in (-1, 1):
+                off = R @ (size * jnp.array([sx, sy, sz], dtype=size.dtype))
+                corners.append(c + off)
+    corners = jnp.stack(corners)                      # (8,3)
+    dists = corners @ n - jnp.dot(n, p0)              # (8,)
+    # take the 4 most-penetrating corners (deterministic fixed shape)
+    neg_d, idx = jax.lax.top_k(-dists, 4)
+    sel = corners[idx]
+    dsel = -neg_d
+    pos = sel - 0.5 * dsel[:, None] * n
+    return dsel, pos, jnp.tile(frame[None], (4, 1, 1))
+
+
+def _sphere_sphere(m, d, g1, g2):
+    c1, c2 = d.geom_xpos[g1], d.geom_xpos[g2]
+    r1, r2 = m.geom_size[g1, 0], m.geom_size[g2, 0]
+    dvec = c2 - c1
+    n = mmath.normalize(dvec)
+    dist = mmath.norm_safe(dvec) - r1 - r2
+    pos = c1 + n * (r1 + 0.5 * dist)
+    return dist[None], pos[None], _make_frame(n)[None]
+
+
+def _sphere_capsule(m, d, g1, g2):
+    c1 = d.geom_xpos[g1]
+    r1 = m.geom_size[g1, 0]
+    c2 = d.geom_xpos[g2]
+    axis = d.geom_xmat[g2][:, 2]
+    r2, hl = m.geom_size[g2, 0], m.geom_size[g2, 1]
+    t = jnp.clip(jnp.dot(c1 - c2, axis), -hl, hl)
+    p = c2 + t * axis
+    dvec = p - c1
+    n = mmath.normalize(dvec)
+    dist = mmath.norm_safe(dvec) - r1 - r2
+    pos = c1 + n * (r1 + 0.5 * dist)
+    return dist[None], pos[None], _make_frame(n)[None]
+
+
+def _capsule_capsule(m, d, g1, g2):
+    c1, c2 = d.geom_xpos[g1], d.geom_xpos[g2]
+    a1, a2 = d.geom_xmat[g1][:, 2], d.geom_xmat[g2][:, 2]
+    r1, h1 = m.geom_size[g1, 0], m.geom_size[g1, 1]
+    r2, h2 = m.geom_size[g2, 0], m.geom_size[g2, 1]
+    p1, p2 = _seg_seg_closest(c1, a1, h1, c2, a2, h2)
+    dvec = p2 - p1
+    n = mmath.normalize(dvec)
+    dist = mmath.norm_safe(dvec) - r1 - r2
+    pos = p1 + n * (r1 + 0.5 * dist)
+    return dist[None], pos[None], _make_frame(n)[None]
+
+
+def _sphere_box(m, d, g1, g2):
+    c = d.geom_xpos[g1]
+    r = m.geom_size[g1, 0]
+    bc, R = d.geom_xpos[g2], d.geom_xmat[g2]
+    size = m.geom_size[g2]
+    local = R.T @ (c - bc)
+    clamped = jnp.clip(local, -size, size)
+    inside = jnp.all(jnp.abs(local) < size)
+    # if inside, push out along the axis of least penetration
+    depth = size - jnp.abs(local)
+    ax = jnp.argmin(depth)
+    sgn = jnp.sign(local[ax])
+    surf = clamped.at[ax].set(sgn * size[ax])
+    closest_local = jnp.where(inside, surf, clamped)
+    closest = bc + R @ closest_local
+    dvec = closest - c
+    nrm = mmath.norm_safe(dvec)
+    n_out = jnp.where(inside, -mmath.normalize(dvec), mmath.normalize(dvec))
+    dist = jnp.where(inside, -(nrm + r), nrm - r)
+    pos = closest - 0.5 * dist * n_out
+    return dist[None], pos[None], _make_frame(n_out)[None]
+
+
+def _capsule_box(m, d, g1, g2):
+    """Two sphere-box style probes along the capsule axis (approximate)."""
+    c = d.geom_xpos[g1]
+    axis = d.geom_xmat[g1][:, 2]
+    r, hl = m.geom_size[g1, 0], m.geom_size[g1, 1]
+    bc, R = d.geom_xpos[g2], d.geom_xmat[g2]
+    size = m.geom_size[g2]
+    dists, poss, frames = [], [], []
+    for sgn in (1.0, -1.0):
+        e = c + sgn * hl * axis
+        local = R.T @ (e - bc)
+        clamped = jnp.clip(local, -size, size)
+        inside = jnp.all(jnp.abs(local) < size)
+        depth = size - jnp.abs(local)
+        ax = jnp.argmin(depth)
+        s = jnp.sign(local[ax])
+        surf = clamped.at[ax].set(s * size[ax])
+        closest_local = jnp.where(inside, surf, clamped)
+        closest = bc + R @ closest_local
+        dvec = closest - e
+        nrm = mmath.norm_safe(dvec)
+        n_out = jnp.where(inside, -mmath.normalize(dvec), mmath.normalize(dvec))
+        dist = jnp.where(inside, -(nrm + r), nrm - r)
+        dists.append(dist)
+        poss.append(closest - 0.5 * dist * n_out)
+        frames.append(_make_frame(n_out))
+    return jnp.stack(dists), jnp.stack(poss), jnp.stack(frames)
+
+
+_DISPATCH = {
+    (GeomType.PLANE, GeomType.SPHERE): (_plane_sphere, 1),
+    (GeomType.PLANE, GeomType.CAPSULE): (_plane_capsule, 2),
+    (GeomType.PLANE, GeomType.BOX): (_plane_box, 4),
+    (GeomType.SPHERE, GeomType.SPHERE): (_sphere_sphere, 1),
+    (GeomType.SPHERE, GeomType.CAPSULE): (_sphere_capsule, 1),
+    (GeomType.SPHERE, GeomType.BOX): (_sphere_box, 1),
+    (GeomType.CAPSULE, GeomType.CAPSULE): (_capsule_capsule, 1),
+    (GeomType.CAPSULE, GeomType.BOX): (_capsule_box, 2),
+}
+
+
+def collide(m: Model, d: Data) -> Data:
+    """Run the static pair table through the narrowphase; fixed-shape output."""
+    dtype = d.qpos.dtype
+    dists: List[jax.Array] = []
+    poss, frames, incms, fris, srefs, simps = [], [], [], [], [], []
+    geom1, geom2, dims = [], [], []
+
+    for (g1, g2) in m.collision_pairs:
+        t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
+        fn, cap = _DISPATCH[(t1, t2)]
+        condim, friction5, solref, solimp, margin, gap = _contact_param(m, g1, g2)
+        di, po, fr = fn(m, d, g1, g2)
+        incm = (margin - gap) * jnp.ones(cap, dtype=dtype)
+        dists.append(di.astype(dtype))
+        poss.append(po.astype(dtype))
+        frames.append(fr.astype(dtype))
+        incms.append(incm)
+        fris.append(jnp.tile(friction5[None].astype(dtype), (cap, 1)))
+        srefs.append(jnp.tile(solref[None].astype(dtype), (cap, 1)))
+        simps.append(jnp.tile(solimp[None].astype(dtype), (cap, 1)))
+        geom1 += [g1] * cap
+        geom2 += [g2] * cap
+        dims += [condim] * cap
+
+    contact = Contact(
+        dist=jnp.concatenate(dists),
+        pos=jnp.concatenate(poss),
+        frame=jnp.concatenate(frames),
+        includemargin=jnp.concatenate(incms),
+        friction=jnp.concatenate(fris),
+        solref=jnp.concatenate(srefs),
+        solimp=jnp.concatenate(simps),
+        geom1=tuple(geom1), geom2=tuple(geom2), dim=tuple(dims))
+    return d.replace(contact=contact)
