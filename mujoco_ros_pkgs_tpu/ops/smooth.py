@@ -81,7 +81,7 @@ def kinematics(m: Model, d: Data) -> Data:
                 quat = mmath.normalize(qpos[qadr + 3:qadr + 7])
                 qpos_out = qpos_out.at[qadr + 3:qadr + 7].set(quat)
                 xanchor[j] = pos
-                xaxis[j] = mmath.rot_vec_quat(m.jnt_axis[j], quat)
+                xaxis[j] = m.jnt_axis[j]  # free joint axis stays global +z
                 continue
             anchor = pos + mmath.rot_vec_quat(m.jnt_pos[j], quat)
             axis = mmath.rot_vec_quat(m.jnt_axis[j], quat)
