@@ -20,20 +20,9 @@ from mujoco_ros_pkgs_tpu.core.types import (
 _SOLREF = (0.02, 1.0)
 _SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
 
-# capacity of contact points our narrowphase emits per geom-type pair
-_PAIR_NCON = {
-    (GeomType.PLANE, GeomType.SPHERE): 1,
-    (GeomType.PLANE, GeomType.CAPSULE): 2,
-    (GeomType.PLANE, GeomType.CYLINDER): 3,
-    (GeomType.PLANE, GeomType.ELLIPSOID): 1,
-    (GeomType.PLANE, GeomType.BOX): 4,
-    (GeomType.SPHERE, GeomType.SPHERE): 1,
-    (GeomType.SPHERE, GeomType.CAPSULE): 1,
-    (GeomType.SPHERE, GeomType.BOX): 1,
-    (GeomType.CAPSULE, GeomType.CAPSULE): 1,
-    (GeomType.CAPSULE, GeomType.BOX): 2,
-    (GeomType.BOX, GeomType.BOX): 8,
-}
+# capacity of contact points per geom-type pair — sourced from the narrowphase
+# dispatch table so the compiler and collision driver can never disagree
+from mujoco_ros_pkgs_tpu.ops.narrowphase import PAIR_NCON as _PAIR_NCON  # noqa: E402
 
 
 def _floats(s):
@@ -335,12 +324,13 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, opt):
                     rp[3:7] /= qn
                 eq_data[ei, 3:10] = rp
             else:
-                # zero quat → compiler stores relative pose at qpos0
-                R2T = _quat_to_mat(wquat[b2]).T
-                eq_data[ei, 3:6] = R2T @ (wpos[b1] - wpos[b2])
+                # zero quat → compiler stores pose of BODY2 in BODY1's frame
+                # at qpos0 (verified vs oracle: tests/test_constraint_parity)
+                R1T = _quat_to_mat(wquat[b1]).T
+                eq_data[ei, 3:6] = R1T @ (wpos[b2] - wpos[b1])
                 q1 = wquat[b1].copy(); q2 = wquat[b2].copy()
-                q2inv = q2 * np.array([1.0, -1, -1, -1])
-                eq_data[ei, 6:10] = _quat_mul(q2inv, q1)
+                q1inv = q1 * np.array([1.0, -1, -1, -1])
+                eq_data[ei, 6:10] = _quat_mul(q1inv, q2)
             eq_data[ei, 10] = float(ee.get("torquescale", "1"))
         elif ee.tag == "joint":
             eq_type.append(int(EqType.JOINT))
@@ -623,6 +613,11 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, opt):
         actuator_names=tuple(actuator_names),
         sensor_names=tuple(sensor_names), key_names=tuple(key_names),
         collision_pairs=tuple(ordered), ncon_max=ncon_max,
+        dof_floss_adr=tuple(v for v in range(nv)
+                            if jnts[dof_jntid[v]].frictionloss > 0),
+        tendon_floss_adr=tuple(t for t in range(ntendon)
+                               if tendon_frictionloss[t] > 0),
+        has_damping=bool(any(jnts[j].damping > 0 for j in dof_jntid)),
     )
 
     from mujoco_ros_pkgs_tpu.core import constants

@@ -387,6 +387,12 @@ class Model:
     sensor_names: Tuple[str, ...] = _static(default=())
     key_names: Tuple[str, ...] = _static(default=())
 
+    # ---- static structure flags (decided at compile; model arrays may be
+    # traced inside jit, so row-structure choices can't read their values) ----
+    dof_floss_adr: Tuple[int, ...] = _static(default=())   # dofs with frictionloss>0
+    tendon_floss_adr: Tuple[int, ...] = _static(default=())
+    has_damping: bool = _static(default=False)
+
     # ---- precomputed collision pair table (static) ----
     # each entry: (geom1, geom2, ncon_capacity); grouped by (type1, type2) at use site
     collision_pairs: Tuple[Tuple[int, int], ...] = _static(default=())

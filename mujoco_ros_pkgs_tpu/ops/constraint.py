@@ -12,7 +12,6 @@ from mujoco_ros_pkgs_tpu.core.types import Data, DisableBit, Model
 
 
 def _has_constraints(m: Model) -> bool:
-    import numpy as np
     if m.opt.disableflags & DisableBit.CONSTRAINT:
         return False
     if m.ncon_max and not (m.opt.disableflags & DisableBit.CONTACT):
@@ -22,7 +21,7 @@ def _has_constraints(m: Model) -> bool:
     if any(m.jnt_limited) or any(m.tendon_limited):
         if not (m.opt.disableflags & DisableBit.LIMIT):
             return True
-    if (np.any(np.asarray(m.dof_frictionloss) > 0)
+    if ((m.dof_floss_adr or m.tendon_floss_adr)
             and not (m.opt.disableflags & DisableBit.FRICTIONLOSS)):
         return True
     return False

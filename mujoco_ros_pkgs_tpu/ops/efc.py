@@ -1,0 +1,517 @@
+"""Constraint assembly: efc rows (equality, friction, limits, contacts) with
+fixed shapes + masks, and the solref/solimp impedance model.
+
+Mirrors mj_makeConstraint / mj_instantiateEquality / mj_diagApprox semantics,
+validated row-by-row against the oracle (tests/test_constraint_parity.py).
+Row order: equality, dof friction, tendon friction, joint limits, tendon
+limits, contacts — libmujoco's order, so efc arrays are comparable 1:1.
+
+All shapes are static: every potential row exists; inactive rows are masked
+(equality via d.eq_active, limits/contacts via distance tests). The Newton
+solver (ops/solver.py) consumes this via per-class static row index tuples.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mujoco_ros_pkgs_tpu.core.types import (
+    Data, DisableBit, EqType, JointType, Model,
+)
+from mujoco_ros_pkgs_tpu.ops import math as mmath
+from mujoco_ros_pkgs_tpu.ops import smooth
+
+# impedance clamps (mjMINIMP/mjMAXIMP)
+MINIMP, MAXIMP = 0.0001, 0.9999
+
+
+class RowMeta(NamedTuple):
+    """Static per-row classification (hashable, trace-time)."""
+    kind: str          # 'eq' | 'fri' | 'lim' | 'con'
+    # for 'con': contact slot index and position within the contact
+    con_id: int = -1
+    con_row: int = -1
+
+
+@struct.dataclass
+class Efc:
+    J: jax.Array          # (nefc, nv)
+    pos: jax.Array        # (nefc,) constraint violation (mujoco efc_pos)
+    margin: jax.Array     # (nefc,)
+    D: jax.Array          # (nefc,)
+    R: jax.Array          # (nefc,)
+    aref: jax.Array       # (nefc,)
+    frictionloss: jax.Array  # (nefc,)
+    active: jax.Array     # (nefc,) row gate (eq_active / limit dist / contact)
+    # elliptic contact grouping (static): list of (base_row, dim) per contact
+    con_base: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    con_dim: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    kinds: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+    con_mu: jax.Array = None      # (ncon_slots, 5) friction of each contact
+    con_active: jax.Array = None  # (ncon_slots,)
+
+
+# ---------------------------------------------------------------------------
+# impedance / reference acceleration (mj_makeImpedance)
+# ---------------------------------------------------------------------------
+
+def _impedance(solimp, pos, margin):
+    d0, dmax, width, mid, power = (solimp[0], solimp[1], solimp[2], solimp[3],
+                                   solimp[4])
+    x = jnp.abs(pos - margin) / jnp.maximum(width, mmath.MINVAL)
+    x = jnp.clip(x, 0.0, 1.0)
+    mid = jnp.clip(mid, MINIMP, MAXIMP)
+    power = jnp.maximum(power, 1.0)
+    # two-sided power spline through (mid, mid)
+    a = 1.0 / jnp.power(mid, power - 1.0)
+    b = 1.0 / jnp.power(1.0 - mid, power - 1.0)
+    y_lo = a * jnp.power(x, power)
+    y_hi = 1.0 - b * jnp.power(1.0 - x, power)
+    y = jnp.where(x < mid, y_lo, y_hi)
+    imp = d0 + y * (dmax - d0)
+    return jnp.clip(imp, MINIMP, MAXIMP)
+
+
+def _kbi(m: Model, solref, solimp, pos, margin):
+    """Stiffness/damping/impedance from solref/solimp (mj_makeImpedance)."""
+    imp = _impedance(solimp, pos, margin)
+    dmax = jnp.clip(solimp[1], MINIMP, MAXIMP)
+    timeconst, dampratio = solref[0], solref[1]
+    if not (m.opt.disableflags & DisableBit.REFSAFE):
+        timeconst = jnp.maximum(timeconst, 2.0 * m.opt.timestep)
+    k_std = 1.0 / jnp.maximum(dmax * dmax * timeconst * timeconst
+                              * dampratio * dampratio, mmath.MINVAL)
+    b_std = 2.0 / jnp.maximum(dmax * timeconst, mmath.MINVAL)
+    # direct (negative) solref: k = -solref[0], b = -solref[1]
+    direct = (solref[0] <= 0) | (solref[1] <= 0)
+    k = jnp.where(direct, -solref[0] / (dmax * dmax), k_std)
+    b = jnp.where(direct, -solref[1], b_std)
+    return k, b, imp
+
+
+def _row(m, J, pos, margin, invweight, solref, solimp, frictionloss, vel):
+    k, b, imp = _kbi(m, solref, solimp, pos, margin)
+    aref = -b * vel - k * imp * (pos - margin)
+    R = jnp.maximum((1.0 - imp) / imp * invweight, mmath.MINVAL)
+    return dict(J=J, pos=pos, margin=margin, D=1.0 / R, R=R, aref=aref,
+                frictionloss=frictionloss)
+
+
+def _row_group(m, J, pos, norm_pos, invweight, solref, solimp, vel, bias):
+    """Row with impedance shared across a constraint group (connect: 3D-norm
+    of residual; weld: 6D-norm — libmujoco semantics), and a J̇·qvel bias
+    subtracted from aref (equality constraints only)."""
+    k, b, imp = _kbi(m, solref, solimp, norm_pos, 0.0)
+    aref = -b * vel - k * imp * pos - bias
+    R = jnp.maximum((1.0 - imp) / imp * invweight, mmath.MINVAL)
+    return dict(J=J, pos=pos, margin=jnp.zeros_like(pos), D=1.0 / R, R=R,
+                aref=aref, frictionloss=jnp.zeros_like(pos))
+
+
+def _body_bias_acc(m: Model, d: Data):
+    """Spatial bias acceleration per body (qacc = 0, no gravity): the forward
+    pass of mj_rne without gravity — needed for equality-constraint aref."""
+    dtype = d.qpos.dtype
+    cacc = [jnp.zeros(6, dtype=dtype)]
+    for b in range(1, m.nbody):
+        a = cacc[m.body_parentid[b]]
+        adr, n = m.body_dofadr[b], m.body_dofnum[b]
+        if n:
+            a = a + d.cdof_dot[adr:adr + n].T @ d.qvel[adr:adr + n]
+        cacc.append(a)
+    return cacc
+
+
+def _point_vel_acc(m, d, cacc_bias, body, point):
+    """Classical velocity and bias acceleration of a body-fixed point."""
+    ref = d.subtree_com[m.body_rootid[body]]
+    cv = d.cvel[body]
+    w = cv[:3]
+    v_p = cv[3:] + jnp.cross(w, point - ref)
+    ca = cacc_bias[body]
+    a_p = ca[3:] + jnp.cross(ca[:3], point - ref) + jnp.cross(w, v_p)
+    return w, v_p, ca[:3], a_p
+
+
+# ---------------------------------------------------------------------------
+# jacobian helpers
+# ---------------------------------------------------------------------------
+
+def _jac(m: Model, d: Data, point: jax.Array, body: int):
+    """mj_jac: translational & rotational jacobians at world point for body.
+
+    Returns (jacp (nv,3), jacr (nv,3)) laid out dof-major."""
+    mask = smooth.body_dof_mask(m)[:, body]            # static (nv,)
+    maskj = jnp.asarray(mask, dtype=d.qpos.dtype)[:, None]
+    offset = point - d.subtree_com[m.body_rootid[body]]
+    jacp = (d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3],
+                                      jnp.broadcast_to(offset, (m.nv, 3)))) * maskj
+    jacr = d.cdof[:, :3] * maskj
+    return jacp, jacr
+
+
+def _quat_lmat(q):
+    """Matrix L(q) with L(q) @ r = quat_mul(q, r) (r as 4-vector)."""
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.array([[w, -x, -y, -z],
+                      [x, w, -z, y],
+                      [y, z, w, -x],
+                      [z, -y, x, w]])
+
+
+def _quat_rmat(q):
+    """Matrix R(q) with R(q) @ l = quat_mul(l, q)."""
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.array([[w, -x, -y, -z],
+                      [x, w, z, -y],
+                      [y, -z, w, x],
+                      [z, y, -x, w]])
+
+
+# ---------------------------------------------------------------------------
+# row assembly
+# ---------------------------------------------------------------------------
+
+def make_efc(m: Model, d: Data) -> Efc:
+    dtype = d.qpos.dtype
+    nv = m.nv
+    rows: List[dict] = []
+    actives: List[jax.Array] = []
+    metas: List[RowMeta] = []
+
+    one = jnp.ones((), dtype=dtype)
+    zero = jnp.zeros((), dtype=dtype)
+
+    qvel = d.qvel
+
+    # ---- equality ----
+    if not (m.opt.disableflags & (DisableBit.CONSTRAINT | DisableBit.EQUALITY)):
+        cacc_bias = _body_bias_acc(m, d) if m.neq else None
+        for e in range(m.neq):
+            et = m.eq_type[e]
+            solref, solimp = m.eq_solref[e], m.eq_solimp[e]
+            act = d.eq_active[e]
+            if et == int(EqType.CONNECT):
+                b1, b2 = m.eq_obj1id[e], m.eq_obj2id[e]
+                a1, a2 = m.eq_data[e, 0:3], m.eq_data[e, 3:6]
+                p1 = d.xpos[b1] + d.xmat[b1] @ a1.astype(dtype)
+                p2 = d.xpos[b2] + d.xmat[b2] @ a2.astype(dtype)
+                jacp1, _ = _jac(m, d, p1, b1)
+                jacp2, _ = _jac(m, d, p2, b2)
+                Jb = (jacp1 - jacp2).T           # (3, nv)
+                pos3 = p1 - p2
+                invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+                # J̇ qvel bias: classical point-acceleration difference
+                _, _, _, ap1 = _point_vel_acc(m, d, cacc_bias, b1, p1)
+                _, _, _, ap2 = _point_vel_acc(m, d, cacc_bias, b2, p2)
+                bias3 = ap1 - ap2
+                npos = mmath.norm_safe(pos3)
+                for k in range(3):
+                    rows.append(_row_group(m, Jb[k], pos3[k], npos, invw,
+                                           solref, solimp, Jb[k] @ qvel,
+                                           bias3[k]))
+                    actives.append(act)
+                    metas.append(RowMeta('eq'))
+            elif et == int(EqType.WELD):
+                b1, b2 = m.eq_obj1id[e], m.eq_obj2id[e]
+                anchor = m.eq_data[e, 0:3].astype(dtype)
+                relp = m.eq_data[e, 3:6].astype(dtype)
+                relq = mmath.normalize(m.eq_data[e, 6:10].astype(dtype))
+                ts = m.eq_data[e, 10].astype(dtype)
+                # translational: body1's prediction of body2 (via relpose = pose
+                # of body2 in body1's frame) vs body2's anchor point
+                p1 = d.xpos[b1] + d.xmat[b1] @ relp
+                p2 = d.xpos[b2] + d.xmat[b2] @ anchor
+                jacp1, jacr1 = _jac(m, d, p1, b1)
+                jacp2, jacr2 = _jac(m, d, p2, b2)
+                Jt = (jacp1 - jacp2).T
+                post = p1 - p2
+                invwt = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+                w1, _, dw1, ap1 = _point_vel_acc(m, d, cacc_bias, b1, p1)
+                w2, _, dw2, ap2 = _point_vel_acc(m, d, cacc_bias, b2, p2)
+                bias_t = ap1 - ap2
+                # rotational residual = ts * vec(q2^-1 * q1 * relq)
+                q1, q2 = d.xquat[b1], d.xquat[b2]
+                q2c = mmath.quat_conj(q2)
+                Q = mmath.quat_mul(q1, relq)
+                qerr = mmath.quat_mul(q2c, Q)
+                posr = ts * qerr[1:4]
+                npos = jnp.sqrt(jnp.maximum(
+                    jnp.sum(post * post) + jnp.sum(posr * posr),
+                    mmath.MINVAL * mmath.MINVAL))
+                for k in range(3):
+                    rows.append(_row_group(m, Jt[k], post[k], npos, invwt,
+                                           solref, solimp, Jt[k] @ qvel,
+                                           bias_t[k]))
+                    actives.append(act)
+                    metas.append(RowMeta('eq'))
+                # d residual / d omega(world): ±0.5*ts*vec(q2c*(0,e)*Q)
+                A = _quat_lmat(q2c) @ _quat_rmat(Q)   # maps (0,e) 4-vec
+                G = 0.5 * A[1:4, 1:4]                 # rows: vec, cols: e
+                Jr = ts * (G @ (jacr1 - jacr2).T)     # (3, nv)
+                invwr = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
+                # rotational J̇ qvel bias via product rule on
+                # rdot = 0.5*ts*vec(q2c*(0,dw)*Q), dw = w1 - w2 (world):
+                dw = w1 - w2
+                dwq = jnp.concatenate([jnp.zeros(1, dtype=dtype), dw])
+                w1q = jnp.concatenate([jnp.zeros(1, dtype=dtype), w1])
+                w2q = jnp.concatenate([jnp.zeros(1, dtype=dtype), w2])
+                dwdot = dw1 - dw2
+                dwdotq = jnp.concatenate([jnp.zeros(1, dtype=dtype), dwdot])
+                term1 = -0.5 * mmath.quat_mul(
+                    q2c, mmath.quat_mul(w2q, mmath.quat_mul(dwq, Q)))
+                term2 = mmath.quat_mul(q2c, mmath.quat_mul(dwdotq, Q))
+                term3 = 0.5 * mmath.quat_mul(
+                    q2c, mmath.quat_mul(dwq, mmath.quat_mul(w1q, Q)))
+                bias_r = 0.5 * ts * (term1 + term2 + term3)[1:4]
+                for k in range(3):
+                    rows.append(_row_group(m, Jr[k], posr[k], npos, invwr,
+                                           solref, solimp, Jr[k] @ qvel,
+                                           bias_r[k]))
+                    actives.append(act)
+                    metas.append(RowMeta('eq'))
+            elif et == int(EqType.JOINT):
+                j1, j2 = m.eq_obj1id[e], m.eq_obj2id[e]
+                c = m.eq_data[e, 0:5].astype(dtype)
+                q1adr, v1 = m.jnt_qposadr[j1], m.jnt_dofadr[j1]
+                dif1 = d.qpos[q1adr] - m.qpos0[q1adr]
+                J = jnp.zeros(nv, dtype=dtype).at[v1].set(1.0)
+                invw = m.dof_invweight0[v1]
+                if j2 >= 0:
+                    q2adr, v2 = m.jnt_qposadr[j2], m.jnt_dofadr[j2]
+                    x = d.qpos[q2adr] - m.qpos0[q2adr]
+                    poly = c[0] + x * (c[1] + x * (c[2] + x * (c[3] + x * c[4])))
+                    dpoly = c[1] + x * (2 * c[2] + x * (3 * c[3] + x * 4 * c[4]))
+                    pos = dif1 - poly
+                    J = J.at[v2].set(-dpoly)
+                    invw = invw + m.dof_invweight0[v2]
+                else:
+                    pos = dif1 - c[0]
+                rows.append(_row(m, J, pos, zero, invw, solref, solimp, zero,
+                                 J @ qvel))
+                actives.append(act)
+                metas.append(RowMeta('eq'))
+            elif et == int(EqType.TENDON):
+                t1, t2 = m.eq_obj1id[e], m.eq_obj2id[e]
+                c = m.eq_data[e, 0:5].astype(dtype)
+                dif1 = d.ten_length[t1] - m.tendon_length0[t1]
+                J = d.ten_J[t1]
+                invw = m.tendon_invweight0[t1]
+                if t2 >= 0:
+                    x = d.ten_length[t2] - m.tendon_length0[t2]
+                    poly = c[0] + x * (c[1] + x * (c[2] + x * (c[3] + x * c[4])))
+                    dpoly = c[1] + x * (2 * c[2] + x * (3 * c[3] + x * 4 * c[4]))
+                    pos = dif1 - poly
+                    J = J - dpoly * d.ten_J[t2]
+                    invw = invw + m.tendon_invweight0[t2]
+                else:
+                    pos = dif1 - c[0]
+                rows.append(_row(m, J, pos, zero, invw, solref, solimp, zero,
+                                 J @ qvel))
+                actives.append(act)
+                metas.append(RowMeta('eq'))
+
+    # ---- dof / tendon friction (frictionloss) ----
+    if not (m.opt.disableflags
+            & (DisableBit.CONSTRAINT | DisableBit.FRICTIONLOSS)):
+        for v in m.dof_floss_adr:
+            J = jnp.zeros(nv, dtype=dtype).at[v].set(1.0)
+            rows.append(_row(m, J, zero, zero, m.dof_invweight0[v],
+                             m.dof_solref[v], m.dof_solimp[v],
+                             m.dof_frictionloss[v], qvel[v]))
+            actives.append(jnp.ones((), dtype=bool))
+            metas.append(RowMeta('fri'))
+        for t in m.tendon_floss_adr:
+            J = d.ten_J[t]
+            rows.append(_row(m, J, zero, zero, m.tendon_invweight0[t],
+                             m.tendon_solref_lim[t], m.tendon_solimp_lim[t],
+                             m.tendon_frictionloss[t], J @ qvel))
+            actives.append(jnp.ones((), dtype=bool))
+            metas.append(RowMeta('fri'))
+
+    # ---- joint / tendon limits ----
+    if not (m.opt.disableflags & (DisableBit.CONSTRAINT | DisableBit.LIMIT)):
+        for j in range(m.njnt):
+            if not m.jnt_limited[j]:
+                continue
+            jt = m.jnt_type[j]
+            qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+            margin = m.jnt_margin[j]
+            solref, solimp = m.jnt_solref[j], m.jnt_solimp[j]
+            if jt in (int(JointType.HINGE), int(JointType.SLIDE)):
+                invw = m.dof_invweight0[vadr]
+                dist_lo = d.qpos[qadr] - m.jnt_range[j, 0]
+                dist_hi = m.jnt_range[j, 1] - d.qpos[qadr]
+                # one row, nearer side (libmujoco semantics)
+                lo_closer = dist_lo < dist_hi
+                dist = jnp.where(lo_closer, dist_lo, dist_hi)
+                sgn = jnp.where(lo_closer, one, -one)
+                J = jnp.zeros(nv, dtype=dtype).at[vadr].set(sgn)
+                rows.append(_row(m, J, dist, margin, invw, solref, solimp,
+                                 zero, J @ qvel))
+                actives.append(dist < margin)
+                metas.append(RowMeta('lim'))
+            elif jt == int(JointType.BALL):
+                invw = m.dof_invweight0[vadr]
+                axis_angle = mmath.quat_to_vel(d.qpos[qadr:qadr + 4])
+                angle, axis = mmath.norm_safe(axis_angle), mmath.normalize(axis_angle)
+                rng = jnp.maximum(m.jnt_range[j, 0], m.jnt_range[j, 1])
+                dist = rng - angle
+                J = jnp.zeros(nv, dtype=dtype).at[vadr:vadr + 3].set(-axis)
+                rows.append(_row(m, J, dist, margin, invw, solref, solimp,
+                                 zero, J @ qvel))
+                actives.append(dist < margin)
+                metas.append(RowMeta('lim'))
+        for t in range(m.ntendon):
+            if not m.tendon_limited[t]:
+                continue
+            margin = m.tendon_margin[t]
+            solref, solimp = m.tendon_solref_lim[t], m.tendon_solimp_lim[t]
+            invw = m.tendon_invweight0[t]
+            L = d.ten_length[t]
+            dist_lo = L - m.tendon_range[t, 0]
+            dist_hi = m.tendon_range[t, 1] - L
+            lo_closer = dist_lo < dist_hi
+            dist = jnp.where(lo_closer, dist_lo, dist_hi)
+            sgn = jnp.where(lo_closer, one, -one)
+            J = sgn * d.ten_J[t]
+            rows.append(_row(m, J, dist, margin, invw, solref, solimp, zero,
+                             J @ qvel))
+            actives.append(dist < margin)
+            metas.append(RowMeta('lim'))
+
+    # ---- contacts (elliptic cone rows; pyramidal handled in solver) ----
+    con_base: List[int] = []
+    con_dim: List[int] = []
+    con_act: List[jax.Array] = []
+    con_mu: List[jax.Array] = []
+    if (m.ncon_max and not (m.opt.disableflags
+                            & (DisableBit.CONSTRAINT | DisableBit.CONTACT))):
+        c = d.contact
+        for i in range(len(c.geom1)):
+            g1, g2 = c.geom1[i], c.geom2[i]
+            if g1 < 0:
+                continue
+            dim = c.dim[i]
+            b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
+            act = c.dist[i] < c.includemargin[i]
+            invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+            jacp1, jacr1 = _jac(m, d, c.pos[i], b1)
+            jacp2, jacr2 = _jac(m, d, c.pos[i], b2)
+            djp = (jacp2 - jacp1).T    # (3, nv)
+            djr = (jacr2 - jacr1).T
+            frame = c.frame[i]         # rows: n, t1, t2
+            con_base.append(len(rows))
+            con_dim.append(dim)
+            con_act.append(act)
+            con_mu.append(c.friction[i])
+            # normal row
+            Jn = frame[0] @ djp
+            rows.append(_row(m, Jn, c.dist[i], c.includemargin[i], invw,
+                             c.solref[i], c.solimp[i], zero, Jn @ qvel))
+            actives.append(act)
+            metas.append(RowMeta('con', len(con_base) - 1, 0))
+            # friction rows (impratio-scaled R)
+            imprat = m.opt.impratio
+            for k in range(1, dim):
+                if k <= 2:
+                    Jf = frame[k] @ djp
+                elif k == 3:
+                    Jf = frame[0] @ djr
+                else:
+                    Jf = frame[k - 3] @ djr
+                r = _row(m, Jf, zero, zero, invw / imprat, c.solref[i],
+                         c.solimp[i], zero, Jf @ qvel)
+                # friction rows share the NORMAL row's impedance: recompute
+                k_, b_, imp_ = _kbi(m, c.solref[i], c.solimp[i], c.dist[i],
+                                    c.includemargin[i])
+                R = jnp.maximum((1.0 - imp_) / imp_ * invw / imprat,
+                                mmath.MINVAL)
+                r.update(R=R, D=1.0 / R, aref=-b_ * (Jf @ qvel))
+                rows.append(r)
+                actives.append(act)
+                metas.append(RowMeta('con', len(con_base) - 1, k))
+
+    if not rows:
+        return None
+
+    efc = Efc(
+        J=jnp.stack([r["J"] for r in rows]),
+        pos=jnp.stack([r["pos"] for r in rows]),
+        margin=jnp.stack([r["margin"] for r in rows]),
+        D=jnp.stack([r["D"] for r in rows]),
+        R=jnp.stack([r["R"] for r in rows]),
+        aref=jnp.stack([r["aref"] for r in rows]),
+        frictionloss=jnp.stack([r["frictionloss"] for r in rows]),
+        active=jnp.stack(actives),
+        con_base=tuple(con_base), con_dim=tuple(con_dim),
+        kinds=tuple(mt.kind for mt in metas),
+        con_mu=(jnp.stack(con_mu) if con_mu
+                else jnp.zeros((0, 5), dtype=dtype)),
+        con_active=(jnp.stack(con_act) if con_act
+                    else jnp.zeros((0,), dtype=bool)),
+    )
+    return efc
+
+
+def row_layout(m: Model):
+    """Static efc row layout (no Data needed): base row of each constraint
+    source, in assembly order. Used by sensors (touch / limit-force) to read
+    d.efc_force_contact."""
+    nrow = 0
+    eq_bases, fri_bases, lim_jnt, lim_ten, con_bases = [], [], {}, {}, []
+    if not (m.opt.disableflags & (DisableBit.CONSTRAINT | DisableBit.EQUALITY)):
+        for e in range(m.neq):
+            eq_bases.append(nrow)
+            nrow += {int(EqType.CONNECT): 3, int(EqType.WELD): 6,
+                     int(EqType.JOINT): 1, int(EqType.TENDON): 1}[m.eq_type[e]]
+    if not (m.opt.disableflags
+            & (DisableBit.CONSTRAINT | DisableBit.FRICTIONLOSS)):
+        for _ in m.dof_floss_adr:
+            fri_bases.append(nrow)
+            nrow += 1
+        for _ in m.tendon_floss_adr:
+            fri_bases.append(nrow)
+            nrow += 1
+    if not (m.opt.disableflags & (DisableBit.CONSTRAINT | DisableBit.LIMIT)):
+        for j in range(m.njnt):
+            if m.jnt_limited[j]:
+                lim_jnt[j] = nrow
+                nrow += 1
+        for t in range(m.ntendon):
+            if m.tendon_limited[t]:
+                lim_ten[t] = nrow
+                nrow += 1
+    if (m.ncon_max and not (m.opt.disableflags
+                            & (DisableBit.CONSTRAINT | DisableBit.CONTACT))):
+        slot = 0
+        from mujoco_ros_pkgs_tpu.ops.narrowphase import PAIR_NCON
+        from mujoco_ros_pkgs_tpu.core.types import GeomType
+        for (g1, g2) in m.collision_pairs:
+            t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
+            cap = PAIR_NCON[(t1, t2)]
+            dim = max(m.geom_condim[g1], m.geom_condim[g2])
+            if m.geom_priority[g1] != m.geom_priority[g2]:
+                dim = (m.geom_condim[g1]
+                       if m.geom_priority[g1] > m.geom_priority[g2]
+                       else m.geom_condim[g2])
+            for _ in range(cap):
+                con_bases.append(nrow)
+                nrow += dim
+                slot += 1
+    return dict(eq=eq_bases, fri=fri_bases, lim_jnt=lim_jnt, lim_ten=lim_ten,
+                con=con_bases, nrow=nrow)
+
+
+def fwd_constraint(m: Model, d: Data) -> Data:
+    from mujoco_ros_pkgs_tpu.ops import solver
+    efc = make_efc(m, d)
+    if efc is None:
+        return d.replace(qacc=d.qacc_smooth,
+                         qfrc_constraint=jnp.zeros_like(d.qacc_smooth))
+    return solver.solve(m, d, efc)

@@ -20,7 +20,8 @@ from mujoco_ros_pkgs_tpu.core.types import (
 from mujoco_ros_pkgs_tpu.ops import math as mmath
 from mujoco_ros_pkgs_tpu.ops import smooth
 
-Hook = Optional[Callable[[Model, Data], Data]]
+# stateful hook: (m, d, hook_state) -> (d, hook_state); state may be ()
+Hook = Optional[Callable]
 
 
 def make_data(m: Model, dtype=None) -> Data:
@@ -30,13 +31,10 @@ def make_data(m: Model, dtype=None) -> Data:
     def z(*shape):
         return jnp.zeros(shape, dtype=dtype)
 
-    ncon = max(m.ncon_max, 1)
-    contact = Contact(
-        dist=jnp.full((ncon,), 1e10, dtype=dtype), pos=z(ncon, 3),
-        frame=jnp.tile(jnp.eye(3, dtype=dtype), (ncon, 1, 1)),
-        includemargin=z(ncon), friction=z(ncon, 5),
-        solref=z(ncon, 2), solimp=z(ncon, 5),
-        geom1=(-1,) * ncon, geom2=(-1,) * ncon, dim=(3,) * ncon)
+    from mujoco_ros_pkgs_tpu.ops import narrowphase
+    from mujoco_ros_pkgs_tpu.ops import efc as efcmod
+    contact = narrowphase.empty_contact(m, dtype)
+    nefc = max(efcmod.row_layout(m)["nrow"], 1)
 
     mocap_pos = z(m.nmocap, 3)
     mocap_quat = jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype), (m.nmocap, 1))
@@ -69,7 +67,7 @@ def make_data(m: Model, dtype=None) -> Data:
         actuator_force=z(m.nu), actuator_moment=z(m.nu, m.nv), act_dot=z(m.na),
         ten_length=z(m.ntendon), ten_velocity=z(m.ntendon),
         ten_J=z(m.ntendon, m.nv),
-        contact=contact, efc_force_contact=z(1),
+        contact=contact, efc_force_contact=z(nefc),
         sensordata=z(m.nsensordata),
         rng=jax.random.PRNGKey(0),
     )
@@ -80,26 +78,36 @@ def make_data(m: Model, dtype=None) -> Data:
 # ---------------------------------------------------------------------------
 
 def forward(m: Model, d: Data, control_hook: Hook = None,
-            passive_hook: Hook = None) -> Data:
-    """mj_forward analogue: full dynamics computation, no integration."""
+            passive_hook: Hook = None, hstate=None):
+    """mj_forward analogue: full dynamics computation, no integration.
+
+    Returns (d, hstate) when hooks are stateful (hstate is not None), else d.
+    """
     from mujoco_ros_pkgs_tpu.ops import collision, constraint, sensor
 
+    stateful = hstate is not None
     d = smooth.fwd_position_smooth(m, d)
     d = collision.collide(m, d)
     d = sensor.sensor_pos(m, d)
     d = smooth.com_vel(m, d)
     d = smooth.passive(m, d)
     if passive_hook is not None:
-        d = passive_hook(m, d)
+        if stateful:
+            d, hstate = passive_hook(m, d, hstate)
+        else:
+            d = passive_hook(m, d)
     d = smooth.rne(m, d)
     d = sensor.sensor_vel(m, d)
     if control_hook is not None:
-        d = control_hook(m, d)
+        if stateful:
+            d, hstate = control_hook(m, d, hstate)
+        else:
+            d = control_hook(m, d)
     d = smooth.actuation(m, d)
     d = smooth.fwd_acceleration_smooth(m, d)
     d = constraint.fwd_constraint(m, d)
     d = sensor.sensor_acc(m, d)
-    return d
+    return (d, hstate) if stateful else d
 
 
 # ---------------------------------------------------------------------------
@@ -142,9 +150,8 @@ def _advance(m: Model, d: Data, qacc: jax.Array, act_dot: jax.Array,
 def euler(m: Model, d: Data) -> Data:
     """mj_Euler: semi-implicit, with implicit joint damping when present."""
     h = m.opt.timestep.astype(d.qpos.dtype)
-    has_damping = bool(np.any(np.asarray(m.dof_damping) > 0))
     qacc = d.qacc
-    if has_damping:
+    if m.has_damping:
         MhB = d.qM + h * jnp.diag(m.dof_damping)
         qfrc = d.qfrc_smooth + d.qfrc_constraint
         qacc = jax.scipy.linalg.cho_solve(
@@ -157,8 +164,9 @@ _RK4_B = np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6])
 
 
 def rk4(m: Model, d: Data, control_hook: Hook = None,
-        passive_hook: Hook = None) -> Data:
+        passive_hook: Hook = None, hstate=None):
     """mj_RungeKutta(4)."""
+    stateful = hstate is not None
     h = m.opt.timestep.astype(d.qpos.dtype)
     d0 = d
     qvels = [d.qvel]
@@ -173,7 +181,8 @@ def rk4(m: Model, d: Data, control_hook: Hook = None,
         di = d0.replace(qpos=qpos_i, qvel=d0.qvel + h * dqacc,
                         act=d0.act + h * dact if m.na else d0.act,
                         time=d0.time + float(np.sum(_RK4_A[i])) * h)
-        di = forward(m, di, control_hook, passive_hook)
+        out = forward(m, di, control_hook, passive_hook, hstate)
+        di, hstate = out if stateful else (out, hstate)
         qvels.append(di.qvel)
         qaccs.append(di.qacc)
         act_dots.append(di.act_dot)
@@ -181,21 +190,26 @@ def rk4(m: Model, d: Data, control_hook: Hook = None,
     Fa = sum(_RK4_B[j] * qaccs[j] for j in range(4))
     Fd = sum(_RK4_B[j] * act_dots[j] for j in range(4))
     qpos = integrate_pos(m, d0.qpos, Fv, h)
-    return d0.replace(qpos=qpos, qvel=d0.qvel + h * Fa,
-                      act=d0.act + h * Fd if m.na else d0.act,
-                      time=d0.time + h)
+    d = d0.replace(qpos=qpos, qvel=d0.qvel + h * Fa,
+                   act=d0.act + h * Fd if m.na else d0.act,
+                   time=d0.time + h)
+    return (d, hstate) if stateful else d
 
 
 def step(m: Model, d: Data, control_hook: Hook = None,
-         passive_hook: Hook = None) -> Data:
+         passive_hook: Hook = None, hstate=None):
     """mj_step analogue: forward dynamics + integration.
 
     (mujoco_ros steps this from its physics thread, mujoco_env.cpp:436-639;
     here it is a pure function — pause/run/step-N semantics live in server/.)
+    Returns (d, hstate) when hstate is given, else d.
     """
-    d = forward(m, d, control_hook, passive_hook)
+    stateful = hstate is not None
+    out = forward(m, d, control_hook, passive_hook, hstate)
+    d, hstate = out if stateful else (out, hstate)
     if m.opt.integrator == int(IntegratorType.RK4):
-        return rk4(m, d, control_hook, passive_hook)
+        return rk4(m, d, control_hook, passive_hook, hstate)
     # EULER / IMPLICIT (implicit falls back to Euler-with-implicit-damping)
     d = d.replace(qacc_warmstart=d.qacc)
-    return euler(m, d)
+    d = euler(m, d)
+    return (d, hstate) if stateful else d

@@ -60,13 +60,13 @@ def _contact_param(m: Model, g1: int, g2: int):
 # ---------------------------------------------------------------------------
 
 def _make_frame(normal: jax.Array) -> jax.Array:
-    """Build a right-handed frame with rows (normal, tan1, tan2) (mju_makeFrame)."""
+    """Right-handed frame rows (normal, tan1, tan2), mju_makeFrame convention:
+    helper axis = coordinate axis with the smallest |n| component (first on
+    ties), t1 = normalize(n x a), t2 = n x t1."""
     n = mmath.normalize(normal)
-    # pick axis least aligned with n
-    a = jnp.where(jnp.abs(n[1]) < 0.5,
-                  jnp.array([0.0, 1.0, 0.0], dtype=n.dtype),
-                  jnp.array([0.0, 0.0, 1.0], dtype=n.dtype))
-    t1 = mmath.normalize(jnp.cross(a, n))
+    idx = jnp.argmin(jnp.abs(n))
+    a = jnp.zeros(3, dtype=n.dtype).at[idx].set(1.0)
+    t1 = mmath.normalize(jnp.cross(n, a))
     t2 = jnp.cross(n, t1)
     return jnp.stack([n, t1, t2])
 
@@ -236,6 +236,133 @@ def _capsule_box(m, d, g1, g2):
     return jnp.stack(dists), jnp.stack(poss), jnp.stack(frames)
 
 
+def _box_box(m, d, g1, g2):
+    """Box-box via SAT (6 face + 9 edge axes) with incident-face vertex clamp.
+
+    Emits up to 4 face contacts or 1 edge-edge contact (rest masked). Not
+    bit-identical to libmujoco's clipping but correct for stacking/resting;
+    parity tests gate qacc, not individual box-box contact point layouts."""
+    dtype = d.qpos.dtype
+    p1, R1, s1 = d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1]
+    p2, R2, s2 = d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2]
+    t = p2 - p1
+
+    axes = []       # (axis(3,), is_edge, ia, ib)
+    for i in range(3):
+        axes.append((R1[:, i], False))
+    for i in range(3):
+        axes.append((R2[:, i], False))
+    for i in range(3):
+        for j in range(3):
+            axes.append((jnp.cross(R1[:, i], R2[:, j]), True))
+
+    best_face_sep = jnp.full((), -jnp.inf, dtype=dtype)
+    best_face_axis = jnp.zeros(3, dtype=dtype)
+    best_edge_sep = jnp.full((), -jnp.inf, dtype=dtype)
+    best_edge_axis = jnp.zeros(3, dtype=dtype)
+
+    for (ax, is_edge) in axes:
+        ln = mmath.norm_safe(ax)
+        ok = ln > 1e-9
+        a = ax / jnp.maximum(ln, mmath.MINVAL)
+        # orient from box1 toward box2
+        sgn = jnp.where(jnp.dot(a, t) < 0, -1.0, 1.0)
+        a = a * sgn
+        ra = jnp.sum(jnp.abs(a @ R1) * s1)
+        rb = jnp.sum(jnp.abs(a @ R2) * s2)
+        sep = jnp.abs(jnp.dot(ax / jnp.maximum(ln, mmath.MINVAL), t)) - (ra + rb)
+        sep = jnp.where(ok, sep, -jnp.inf)
+        if is_edge:
+            upd = sep > best_edge_sep
+            best_edge_sep = jnp.where(upd, sep, best_edge_sep)
+            best_edge_axis = jnp.where(upd, a, best_edge_axis)
+        else:
+            upd = sep > best_face_sep
+            best_face_sep = jnp.where(upd, sep, best_face_sep)
+            best_face_axis = jnp.where(upd, a, best_face_axis)
+
+    n = best_face_axis  # normal from box1 into box2 (face case)
+
+    # reference box: the one whose face normal matches n best
+    a1 = jnp.max(jnp.abs(n @ R1))
+    a2 = jnp.max(jnp.abs(n @ R2))
+    ref_is_1 = a1 >= a2
+
+    def face_contacts(pr, Rr, sr, pi, Ri, si, nrm):
+        # nrm points from ref into incident box
+        # incident face: most anti-parallel to nrm
+        dots = nrm @ Ri                      # (3,)
+        iax = jnp.argmin(jnp.abs(jnp.abs(dots) - 1.0) - jnp.abs(dots))  # max |dot|
+        iax = jnp.argmax(jnp.abs(dots))
+        isgn = -jnp.sign(dots[iax])
+        # 4 corners of incident face
+        corners = []
+        for u in (-1.0, 1.0):
+            for v in (-1.0, 1.0):
+                e = jnp.zeros(3, dtype=dtype).at[iax].set(isgn)
+                o1 = jnp.zeros(3, dtype=dtype).at[(iax + 1) % 3].set(u)
+                o2 = jnp.zeros(3, dtype=dtype).at[(iax + 2) % 3].set(v)
+                local = (e + o1 + o2) * si
+                corners.append(pi + Ri @ local)
+        pts = jnp.stack(corners)             # (4,3) world
+        # clamp into reference face rectangle (ref frame)
+        loc = (pts - pr) @ Rr                # (4,3) in ref frame
+        nl = nrm @ Rr
+        rax = jnp.argmax(jnp.abs(nl))
+        rsgn = jnp.sign(nl[jnp.asarray(rax)])
+        clamped = jnp.clip(loc, -sr, sr)
+        # penetration: distance of incident vert beyond ref face plane
+        dist = rsgn * loc[:, rax] - sr[rax]
+        # tangential clamp (keep normal coordinate from vert)
+        pos_loc = clamped.at[:, rax].set(loc[:, rax] - 0.5 * dist * rsgn)
+        pos = pr + pos_loc @ Rr.T
+        return dist, pos
+
+    d_f1, p_f1 = face_contacts(p1, R1, s1, p2, R2, s2, n)
+    d_f2, p_f2 = face_contacts(p2, R2, s2, p1, R1, s1, -n)
+    dist_face = jnp.where(ref_is_1, d_f1, d_f2)
+    pos_face = jnp.where(ref_is_1, p_f1, p_f2)
+
+    # edge-edge candidate: closest points between best edges — approximate via
+    # support points along the separating axis
+    ne = best_edge_axis
+    # support edge on box1: corner most along +ne with the edge direction from
+    # the cross-product structure; use segment-segment on the support edges
+    def support_edge(p, R, s, direction):
+        sgns = jnp.sign(direction @ R)
+        sgns = jnp.where(sgns == 0, 1.0, sgns)
+        corner = p + R @ (sgns * s)
+        # edge direction: box axis least aligned with direction
+        align = jnp.abs(direction @ R)
+        eax = jnp.argmin(align)
+        edir = R[:, eax]
+        half = s[eax]
+        center = corner - edir * sgns[eax] * half
+        return center, edir, half
+
+    c1, e1, h1 = support_edge(p1, R1, s1, ne)
+    c2, e2, h2 = support_edge(p2, R2, s2, -ne)
+    q1, q2 = _seg_seg_closest(c1, e1, h1, c2, e2, h2)
+    dvec = q2 - q1
+    edge_n = jnp.where(jnp.dot(dvec, ne) < 0, -mmath.normalize(dvec),
+                       mmath.normalize(dvec))
+    edge_n = jnp.where(mmath.norm_safe(dvec) > 1e-9, edge_n, ne)
+    dist_edge = best_edge_sep
+    pos_edge = 0.5 * (q1 + q2)
+
+    use_edge = best_edge_sep > best_face_sep + 1e-9
+    big = jnp.full((), 1e10, dtype=dtype)
+    dists = jnp.where(use_edge,
+                      jnp.concatenate([dist_edge[None], jnp.full(3, big)]),
+                      dist_face)
+    poss = jnp.where(use_edge,
+                     jnp.concatenate([pos_edge[None], jnp.zeros((3, 3), dtype=dtype)]),
+                     pos_face)
+    nrm = jnp.where(use_edge, edge_n, n)
+    frame = _make_frame(nrm)
+    return dists, poss, jnp.tile(frame[None], (4, 1, 1))
+
+
 _DISPATCH = {
     (GeomType.PLANE, GeomType.SPHERE): (_plane_sphere, 1),
     (GeomType.PLANE, GeomType.CAPSULE): (_plane_capsule, 2),
@@ -245,7 +372,48 @@ _DISPATCH = {
     (GeomType.SPHERE, GeomType.BOX): (_sphere_box, 1),
     (GeomType.CAPSULE, GeomType.CAPSULE): (_capsule_capsule, 1),
     (GeomType.CAPSULE, GeomType.BOX): (_capsule_box, 2),
+    (GeomType.BOX, GeomType.BOX): (_box_box, 4),
 }
+
+# capacity table consumed by the compiler (core/assemble.py) — single source
+PAIR_NCON = {k: cap for k, (fn, cap) in _DISPATCH.items()}
+
+
+def slot_meta(m: Model):
+    """Static (geom1, geom2, condim) tuples for every contact slot, in the
+    exact order collide() emits them. Shared by make_data so that the empty
+    contact set has identical pytree structure to a computed one (scan/carry
+    structure stability)."""
+    geom1, geom2, dims = [], [], []
+    for (g1, g2) in m.collision_pairs:
+        t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
+        cap = PAIR_NCON[(t1, t2)]
+        p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+        if p1 != p2:
+            condim = m.geom_condim[g1 if p1 > p2 else g2]
+        else:
+            condim = max(m.geom_condim[g1], m.geom_condim[g2])
+        geom1 += [g1] * cap
+        geom2 += [g2] * cap
+        dims += [condim] * cap
+    return tuple(geom1), tuple(geom2), tuple(dims)
+
+
+def empty_contact(m: Model, dtype) -> Contact:
+    import jax.numpy as jnp_
+    g1, g2, dims = slot_meta(m)
+    n = max(len(g1), 1)
+    if not g1:
+        g1, g2, dims = (-1,) * n, (-1,) * n, (3,) * n
+    return Contact(
+        dist=jnp_.full((n,), 1e10, dtype=dtype),
+        pos=jnp_.zeros((n, 3), dtype=dtype),
+        frame=jnp_.tile(jnp_.eye(3, dtype=dtype), (n, 1, 1)),
+        includemargin=jnp_.zeros((n,), dtype=dtype),
+        friction=jnp_.zeros((n, 5), dtype=dtype),
+        solref=jnp_.zeros((n, 2), dtype=dtype),
+        solimp=jnp_.zeros((n, 5), dtype=dtype),
+        geom1=g1, geom2=g2, dim=dims)
 
 
 def collide(m: Model, d: Data) -> Data:

@@ -69,6 +69,14 @@ def kinematics(m: Model, d: Data) -> Data:
     for b in range(1, m.nbody):
         p = m.body_parentid[b]
         pq, pp = xquat[p], xpos[p]
+        if m.body_mocapid[b] >= 0:
+            # mocap bodies are driven directly from mocap_pos/quat (the
+            # reference's mocap plugin writes these every step,
+            # mujoco_ros_mocap_plugin/src/mocap_plugin.cpp:80-105)
+            mid = m.body_mocapid[b]
+            xpos.append(d.mocap_pos[mid])
+            xquat.append(mmath.normalize(d.mocap_quat[mid]))
+            continue
         quat = mmath.quat_mul(pq, m.body_quat[b])
         pos = pp + mmath.rot_vec_quat(m.body_pos[b], pq)
 

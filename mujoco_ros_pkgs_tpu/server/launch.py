@@ -1,0 +1,128 @@
+"""CLI entry point — the launch/config layer (L5) reborn.
+
+Mirrors the reference's roslaunch surface (mujoco_ros/launch/
+launch_server.launch:5-28: modelfile, headless/no_x, unpause, num_steps,
+eval_mode, realtime, verbose, mujoco_plugin_config yaml, initial joint
+states) plus the --admin-hash CLI flag (mujoco_ros/src/main.cpp:80-82).
+Rosparam trees become a YAML/JSON config file; the ROS graph becomes the
+in-process server (plus this blocking loop).
+
+Usage:
+    python -m mujoco_ros_pkgs_tpu.server.launch --modelfile world.xml \
+        --nenv 4096 --realtime -1 --num-steps -1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="mujoco_ros_pkgs_tpu.server",
+        description="TPU-native batched MuJoCo-class simulation server")
+    ap.add_argument("--modelfile", required=True,
+                    help="MJCF path (or XML string via --model-string)")
+    ap.add_argument("--model-string", action="store_true",
+                    help="treat --modelfile as literal XML")
+    ap.add_argument("--nenv", type=int, default=1,
+                    help="lockstep env instances (batch size)")
+    ap.add_argument("--unpause", action="store_true", default=True)
+    ap.add_argument("--no-unpause", dest="unpause", action="store_false")
+    ap.add_argument("--num-steps", type=int, default=-1,
+                    help="terminate after N steps (-1 = run forever)")
+    ap.add_argument("--eval-mode", action="store_true")
+    ap.add_argument("--admin-hash", default="")
+    ap.add_argument("--realtime", type=float, default=-1.0,
+                    help="real-time fraction (-1 = unbound)")
+    ap.add_argument("--ctrl-noise-std", type=float, default=0.0)
+    ap.add_argument("--ctrl-noise-rate", type=float, default=0.0)
+    ap.add_argument("--config", default="",
+                    help="YAML/JSON config: initial joint states, plugins")
+    ap.add_argument("--f32", action="store_true",
+                    help="compute in float32 (TPU throughput mode)")
+    ap.add_argument("--verbose", action="store_true")
+    return ap
+
+
+def load_config(path: str) -> dict:
+    if not path:
+        return {}
+    with open(path) as f:
+        text = f.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        try:
+            import yaml
+            return yaml.safe_load(text)
+        except ImportError:
+            raise RuntimeError("config is not JSON and pyyaml is unavailable")
+
+
+def make_plugins(cfg: dict):
+    """Instantiate plugins from config (the rosparam `MujocoPlugins` array,
+    mujoco_ros/src/plugin_utils.cpp:41-64, with `type` keys)."""
+    out = []
+    for entry in cfg.get("MujocoPlugins", []):
+        ptype = entry.get("type", "")
+        if ptype in ("mujoco_ros_sensors/MujocoRosSensorsPlugin", "sensors"):
+            from mujoco_ros_pkgs_tpu.plugins.sensors import SensorsPlugin
+            out.append(SensorsPlugin(entry))
+        elif ptype in ("mujoco_ros_mocap/MocapPlugin", "mocap"):
+            from mujoco_ros_pkgs_tpu.plugins.mocap import MocapPlugin
+            out.append(MocapPlugin(entry))
+        elif ptype in ("mujoco_ros_control/MujocoRosControlPlugin",
+                       "ros_control"):
+            from mujoco_ros_pkgs_tpu.plugins.ros_control import RosControlPlugin
+            out.append(RosControlPlugin(entry))
+        else:
+            raise ValueError(f"unknown plugin type '{ptype}'")
+    return out
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax.numpy as jnp
+    from mujoco_ros_pkgs_tpu.server import MujocoServer
+
+    cfg = load_config(args.config)
+    model = args.modelfile
+    srv = MujocoServer(
+        model, nenv=args.nenv, eval_mode=args.eval_mode,
+        admin_hash=args.admin_hash, unpause=args.unpause,
+        num_steps=args.num_steps, realtime=args.realtime,
+        initial_joint_states=cfg.get("initial_joint_positions", {}),
+        initial_joint_velocities=cfg.get("initial_joint_velocities", {}),
+        plugins=make_plugins(cfg),
+        ctrl_noise_std=args.ctrl_noise_std,
+        ctrl_noise_rate=args.ctrl_noise_rate,
+        dtype=jnp.float32 if args.f32 else None)
+
+    stop = {"flag": False}
+
+    def sigint(_sig, _frm):   # main.cpp:52-56 sets exit_request
+        stop["flag"] = True
+        srv.shutdown()
+    signal.signal(signal.SIGINT, sigint)
+
+    srv.start_physics_loop()
+    if args.verbose:
+        while not stop["flag"] and srv.num_steps_until_exit != 0:
+            time.sleep(1.0)
+            print(f"sim_time={srv.sim_time:.3f}s "
+                  f"slowdown={srv.measured_slowdown:.2f}x "
+                  f"paused={srv.paused}", file=sys.stderr)
+    else:
+        while not stop["flag"] and srv.num_steps_until_exit != 0:
+            time.sleep(0.2)
+    srv.stop_physics_loop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,671 @@
+"""MujocoServer — the batched, functional reincarnation of MujocoEnv.
+
+The reference (mujoco_ros/src/mujoco_env.cpp) is a thread bundle: a physics
+thread stepping one mjData under a recursive mutex, an event thread processing
+atomic request flags, ROS spinner threads mutating state through services
+(src/callbacks.cpp:49-92), all paced against the wall clock. Here the same
+SEMANTICS are provided around a pure, jit-compiled, BATCHED step:
+
+- thousands of env instances step in lockstep (vmap over the env axis,
+  optionally sharded over a device mesh — parallel/);
+- the control plane is a set of methods mirroring the 12 services + step
+  action 1:1 (set_pause, shutdown, reload, reset, set/get_body_state,
+  set/get_geom_properties, set/get_eq_constraint_parameters,
+  load_initial_joint_states, get_loading_request_state, step action,
+  set/get_gravity, set_mocap_state, register_noise_models);
+- mutations land between device step batches — the functional analogue of
+  "service callbacks lock the physics mutex";
+- eval-mode admin-hash gating matches callbacks.cpp:213-223 /
+  mujoco_env.cpp:92-105 (constructor throws without a hash in eval mode);
+- pause / manual-step / num_steps-termination / real-time pacing semantics
+  follow the physics loop (mujoco_env.cpp:436-639);
+- model-load failures roll back to the previous model
+  (initModelFromQueue, mujoco_env.cpp:851-869).
+"""
+
+from __future__ import annotations
+
+import threading
+import time as _time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mujoco_ros_pkgs_tpu.core import mjcf
+from mujoco_ros_pkgs_tpu.core.types import Data, EqType, JointType, Model
+from mujoco_ros_pkgs_tpu.msgs import (
+    BodyState, EqualityConstraintParameters, GeomProperties, MocapState, Pose,
+    ServiceResult, SolverParameters, StateUint, StepGoal, StepResult, Twist,
+)
+from mujoco_ros_pkgs_tpu.ops import forward as fwd
+from mujoco_ros_pkgs_tpu.core import constants
+from mujoco_ros_pkgs_tpu.plugins.base import MujocoPlugin, PluginRegistry
+
+# operational status (get_loading_request_state service, callbacks.cpp:72-87)
+STATUS_RUNNING = 0
+STATUS_LOADING = 1
+STATUS_LOAD_REQUESTED = 2
+
+# real-time pacing grid: unbound or percent of real time (mujoco_env.h:236-239)
+PERCENT_REAL_TIME = (-1, 100, 80, 66, 50, 40, 33, 25, 20, 16, 13, 10, 8, 6.6,
+                     5.0, 4, 3.3, 2.5, 2, 1.6, 1.3, 1, 0.8, 0.66, 0.5, 0.4,
+                     0.33, 0.25, 0.2, 0.16, 0.13, 0.1)
+
+
+class AdminHashError(PermissionError):
+    pass
+
+
+class MujocoServer:
+    """Batched simulation server.
+
+    Args:
+      model: MJCF path or XML string.
+      nenv: number of lockstep env instances (the reference's single mjData
+        becomes a batch axis; num_instances was deprecated upstream,
+        launch/launch_server.launch:21 — here it is first-class).
+      eval_mode/admin_hash: auth layer over mutating APIs.
+      unpause: start running (launch arg `unpause`).
+      num_steps: terminate after N steps (launch arg; -1 = forever).
+      initial_joint_states: {"name": [values...]} positions, and
+      initial_joint_velocities analogously (config/initial_joint_states.yaml).
+      dtype: compute dtype (f64 parity / f32 TPU throughput).
+    """
+
+    def __init__(self, model: str, nenv: int = 1, *, eval_mode: bool = False,
+                 admin_hash: str = "", unpause: bool = True,
+                 num_steps: int = -1, realtime: float = -1.0,
+                 initial_joint_states: Optional[dict] = None,
+                 initial_joint_velocities: Optional[dict] = None,
+                 plugins: Sequence[MujocoPlugin] = (),
+                 ctrl_noise_std: float = 0.0, ctrl_noise_rate: float = 0.0,
+                 dtype=None):
+        if eval_mode and not admin_hash:
+            # mujoco_env.cpp:92-105: eval mode requires an admin hash
+            raise AdminHashError("eval mode requires an admin hash")
+        self.eval_mode = eval_mode
+        self._admin_hash = admin_hash
+        self.nenv = int(nenv)
+        self.dtype = dtype
+        self._status = STATUS_LOAD_REQUESTED
+        self._load_error = ""
+        self.paused = not unpause
+        self.num_steps_until_exit = num_steps
+        self.realtime_factor = realtime   # fraction of real time; -1 unbound
+        self.measured_slowdown = 0.0
+        self._exit_request = False
+        self._lock = threading.RLock()
+        self._physics_thread: Optional[threading.Thread] = None
+        self._clock_subs: List[Callable[[float], None]] = []
+        self._init_js = dict(initial_joint_states or {})
+        self._init_jv = dict(initial_joint_velocities or {})
+        # Ornstein-Uhlenbeck ctrl noise (mujoco_env.cpp:469-481); d.ctrl is
+        # the OU state, exactly as the reference uses mjData.ctrl
+        self.ctrl_noise_std = float(ctrl_noise_std)
+        self.ctrl_noise_rate = float(ctrl_noise_rate)
+
+        self.registry = PluginRegistry()
+        self._pending_plugins = list(plugins)
+
+        self._model_source = model
+        self._load_model(model)
+
+    # ------------------------------------------------------------------
+    # loading / lifecycle
+    # ------------------------------------------------------------------
+
+    def _compile(self, source: str) -> Model:
+        if "<" in source:   # XML string (the reference's VFS string path)
+            m = mjcf.load_model_from_string(source, dtype=self.dtype)
+        else:
+            m = mjcf.load_model(source, dtype=self.dtype)
+        return m
+
+    def _load_model(self, source: str):
+        self._status = STATUS_LOADING
+        m = self._compile(source)          # propagate errors on first load
+        self._install_model(m, source)
+
+    def _install_model(self, m: Model, source: str):
+        self.m = m
+        self._model_source = source
+        d1 = fwd.make_data(m, dtype=self.dtype)
+        self.d = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (self.nenv,) + x.shape), d1)
+        # per-env RNG streams
+        keys = jax.random.split(jax.random.PRNGKey(0), self.nenv)
+        self.d = self.d.replace(rng=keys)
+        self._apply_initial_joint_states()
+
+        # plugins
+        self.registry = PluginRegistry()
+        for p in self._pending_plugins:
+            self.registry.register(p, m, d1)
+        pstates1 = self.registry.init_states(m, self.nenv)
+        self.pstates = jax.tree_util.tree_map(
+            lambda x: (jnp.broadcast_to(jnp.asarray(x),
+                                        (self.nenv,) + jnp.asarray(x).shape)
+                       if hasattr(x, "shape") or np.isscalar(x) else x),
+            pstates1)
+        self._step_cache: Dict[int, Callable] = {}
+        self._status = STATUS_RUNNING
+        self._load_error = ""
+
+    def _apply_initial_joint_states(self):
+        """loadInitialJointStates (mujoco_env.cpp:266-389): set joint positions
+        and velocities by name, applied at load AND on every reset."""
+        m = self.m
+        qpos = np.array(self.d.qpos)
+        qvel = np.array(self.d.qvel)
+        for name, vals in self._init_js.items():
+            j = m.joint(name)
+            adr = m.jnt_qposadr[j]
+            n = JointType(m.jnt_type[j]).nq()
+            v = np.atleast_1d(np.asarray(vals, dtype=np.float64))[:n]
+            qpos[:, adr:adr + len(v)] = v
+        for name, vals in self._init_jv.items():
+            j = m.joint(name)
+            adr = m.jnt_dofadr[j]
+            n = JointType(m.jnt_type[j]).nv()
+            v = np.atleast_1d(np.asarray(vals, dtype=np.float64))[:n]
+            qvel[:, adr:adr + len(v)] = v
+        self.d = self.d.replace(qpos=jnp.asarray(qpos, dtype=self.d.qpos.dtype),
+                                qvel=jnp.asarray(qvel, dtype=self.d.qvel.dtype))
+
+    # ------------------------------------------------------------------
+    # the compiled batched step
+    # ------------------------------------------------------------------
+
+    def _get_step_fn(self, nsub: int) -> Callable:
+        """jit(scan(vmap(step), length=nsub)) — cached per substep count."""
+        fn = self._step_cache.get(nsub)
+        if fn is not None:
+            return fn
+        registry = self.registry
+        control_hook = registry.control_hook()
+        passive_hook = registry.passive_hook()
+        last_hook = registry.last_stage_hook()
+
+        noise_std = self.ctrl_noise_std
+        noise_rate = self.ctrl_noise_rate
+
+        def one_env(m, d, ps):
+            if noise_std > 0 and self.m.nu:
+                dt = m.opt.timestep.astype(d.qpos.dtype)
+                rate = (jnp.exp(-dt / noise_rate) if noise_rate > 0
+                        else jnp.zeros((), dtype=d.qpos.dtype))
+                scale = noise_std * jnp.sqrt(jnp.maximum(1.0 - rate * rate,
+                                                         0.0))
+                rng, sub = jax.random.split(d.rng)
+                noise = jax.random.normal(sub, (self.m.nu,),
+                                          dtype=d.qpos.dtype)
+                d = d.replace(ctrl=rate * d.ctrl + scale * noise, rng=rng)
+            if control_hook or passive_hook:
+                d, ps = fwd.step(m, d, control_hook, passive_hook, hstate=ps)
+            else:
+                d = fwd.step(m, d)
+            if last_hook:
+                d, ps = last_hook(m, d, ps)
+            return d, ps
+
+        def batch_step(m, d, ps):
+            return jax.vmap(one_env, in_axes=(None, 0, 0))(m, d, ps)
+
+        @jax.jit
+        def run(m, d, ps):
+            def body(carry, _):
+                d, ps = carry
+                d, ps = batch_step(m, d, ps)
+                return (d, ps), None
+            (d, ps), _ = jax.lax.scan(body, (d, ps), None, length=nsub)
+            return d, ps
+
+        self._step_cache[nsub] = run
+        return fn or run
+
+    def step(self, nsteps: int = 1, block: bool = True) -> StepResult:
+        """The Step action (callbacks.cpp:94-129). Rejected while running."""
+        if not self.paused and self._physics_thread is not None:
+            return StepResult(success=False)
+        if nsteps <= 0:
+            return StepResult(success=False)
+        with self._lock:
+            # batch substeps into at most 64-step compiled scans
+            left = nsteps
+            while left > 0:
+                chunk = min(left, 64)
+                run = self._get_step_fn(chunk)
+                self.d, self.pstates = run(self.m, self.d, self.pstates)
+                left -= chunk
+            jax.block_until_ready(self.d.qpos)
+            self._publish_clock()
+        return StepResult(success=True)
+
+    def _publish_clock(self):
+        t = float(np.asarray(self.d.time[0]))
+        for cb in self._clock_subs:
+            cb(t)
+
+    def subscribe_clock(self, cb: Callable[[float], None]):
+        """In-process /clock topic (publishSimTime, mujoco_env.cpp:699-714)."""
+        self._clock_subs.append(cb)
+
+    @property
+    def sim_time(self) -> float:
+        return float(np.asarray(self.d.time[0]))
+
+    # ------------------------------------------------------------------
+    # physics loop (real-time paced background stepping)
+    # ------------------------------------------------------------------
+
+    def start_physics_loop(self):
+        if self._physics_thread is not None:
+            return
+        self._exit_request = False
+        self._physics_thread = threading.Thread(target=self._physics_loop,
+                                                daemon=True)
+        self._physics_thread.start()
+
+    def _physics_loop(self):
+        """physicsLoop (mujoco_env.cpp:436-639): pace sim time against the
+        wall clock at realtime_factor; unbound (-1) steps as fast as possible."""
+        dt = float(np.asarray(self.m.opt.timestep))
+        cpu_start = _time.perf_counter()
+        sim_start = self.sim_time
+        while not self._exit_request and self.num_steps_until_exit != 0:
+            if self.paused:
+                _time.sleep(0.001)
+                cpu_start = _time.perf_counter()
+                sim_start = self.sim_time
+                continue
+            with self._lock:
+                chunk = 8 if self.realtime_factor < 0 else 1
+                if self.num_steps_until_exit > 0:
+                    chunk = min(chunk, self.num_steps_until_exit)
+                run = self._get_step_fn(chunk)
+                self.d, self.pstates = run(self.m, self.d, self.pstates)
+                jax.block_until_ready(self.d.qpos)
+                if self.num_steps_until_exit > 0:
+                    self.num_steps_until_exit -= chunk
+            self._publish_clock()
+            elapsed_cpu = _time.perf_counter() - cpu_start
+            elapsed_sim = self.sim_time - sim_start
+            if elapsed_cpu > 0:
+                self.measured_slowdown = elapsed_sim / elapsed_cpu
+            if self.realtime_factor > 0:
+                target_cpu = elapsed_sim / self.realtime_factor
+                ahead = target_cpu - elapsed_cpu
+                if ahead > 0:
+                    _time.sleep(min(ahead, 0.1))
+        self._physics_thread = None
+
+    def stop_physics_loop(self):
+        self._exit_request = True
+        t = self._physics_thread
+        if t is not None:
+            t.join(timeout=10)
+
+    # ------------------------------------------------------------------
+    # admin gating
+    # ------------------------------------------------------------------
+
+    def _check_hash(self, admin_hash: str) -> Optional[ServiceResult]:
+        """Eval-mode gate on mutating calls (callbacks.cpp:213-223)."""
+        if self.eval_mode and admin_hash != self._admin_hash:
+            return ServiceResult(False, "invalid admin hash")
+        return None
+
+    # ------------------------------------------------------------------
+    # services (1:1 with the reference surface, callbacks.cpp:49-92)
+    # ------------------------------------------------------------------
+
+    def set_pause(self, paused: bool, admin_hash: str = "") -> ServiceResult:
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        self.paused = bool(paused)
+        return ServiceResult(True, "")
+
+    def shutdown(self) -> ServiceResult:
+        self._exit_request = True
+        self.stop_physics_loop()
+        return ServiceResult(True, "")
+
+    def reload(self, model: str = "", admin_hash: str = "") -> ServiceResult:
+        """Reload current or new model; rollback on failure
+        (initModelFromQueue, mujoco_env.cpp:771-911)."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        source = model or self._model_source
+        with self._lock:
+            self._status = STATUS_LOAD_REQUESTED
+            try:
+                self._status = STATUS_LOADING
+                m = self._compile(source)
+            except Exception as exc:
+                self._load_error = str(exc)
+                self._status = STATUS_RUNNING   # rollback: old model intact
+                return ServiceResult(False, self._load_error)
+            self._install_model(m, source)
+        return ServiceResult(True, "")
+
+    def reset(self, admin_hash: str = "") -> ServiceResult:
+        """mj_resetData + initial joint state reapply + plugin reset
+        (resetSim, mujoco_env.cpp:246-264)."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        with self._lock:
+            d1 = fwd.make_data(self.m, dtype=self.dtype)
+            self.d = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (self.nenv,) + x.shape), d1)
+            keys = jax.random.split(jax.random.PRNGKey(0), self.nenv)
+            self.d = self.d.replace(rng=keys)
+            self._apply_initial_joint_states()
+            self.registry.reset_all(self.m, d1)
+        return ServiceResult(True, "")
+
+    def get_loading_request_state(self) -> StateUint:
+        desc = {STATUS_RUNNING: "simulation ready",
+                STATUS_LOADING: "loading in progress",
+                STATUS_LOAD_REQUESTED: "load request pending"}[self._status]
+        return StateUint(self._status, desc)
+
+    # -- body state ----------------------------------------------------
+
+    def _free_jnt_of_body(self, b: int) -> Optional[int]:
+        if self.m.body_jntnum[b] == 1:
+            j = self.m.body_jntadr[b]
+            if self.m.jnt_type[j] == int(JointType.FREE):
+                return j
+        return None
+
+    def get_body_state(self, name: str, env_id: int = 0) -> BodyState:
+        m = self.m
+        b = m.body(name)
+        st = BodyState(name=name)
+        st.mass = float(np.asarray(m.body_mass[b]))
+        j = self._free_jnt_of_body(b)
+        if j is not None:
+            qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+            qpos = np.asarray(self.d.qpos[env_id])
+            qvel = np.asarray(self.d.qvel[env_id])
+            st.pose = Pose(qpos[qadr:qadr + 3].copy(),
+                           qpos[qadr + 3:qadr + 7].copy())
+            # free-joint angular velocity is body-local; report world
+            from mujoco_ros_pkgs_tpu.ops import math as mmath
+            q = jnp.asarray(qpos[qadr + 3:qadr + 7])
+            w_local = jnp.asarray(qvel[vadr + 3:vadr + 6])
+            w_world = np.asarray(mmath.rot_vec_quat(w_local, q))
+            st.twist = Twist(qvel[vadr:vadr + 3].copy(), w_world)
+        return st
+
+    def set_body_state(self, state: BodyState, set_pose: bool = True,
+                       set_twist: bool = True, set_mass: bool = False,
+                       admin_hash: str = "") -> ServiceResult:
+        """SetBodyState (callbacks.cpp:226-505): pose/twist for free-jointed
+        bodies; mass update re-derives constants like mj_setConst
+        (callbacks.cpp:244-258)."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        m = self.m
+        try:
+            b = m.body(state.name)
+        except ValueError:
+            return ServiceResult(False, f"body '{state.name}' not found")
+        with self._lock:
+            if set_pose or set_twist:
+                j = self._free_jnt_of_body(b)
+                if j is None:
+                    return ServiceResult(
+                        False, f"body '{state.name}' has no free joint")
+                qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+                qpos = np.array(self.d.qpos)
+                qvel = np.array(self.d.qvel)
+                envs = (slice(None) if state.env_id is None else state.env_id)
+                if set_pose:
+                    quat = np.asarray(state.pose.orientation, dtype=np.float64)
+                    quat = quat / max(np.linalg.norm(quat), 1e-15)
+                    qpos[envs, qadr:qadr + 3] = state.pose.position
+                    qpos[envs, qadr + 3:qadr + 7] = quat
+                if set_twist:
+                    # world angular velocity → body-local free-joint dofs
+                    from mujoco_ros_pkgs_tpu.ops import math as mmath
+                    quat = qpos[0 if state.env_id is None else state.env_id,
+                                qadr + 3:qadr + 7]
+                    w_local = np.asarray(mmath.rot_vec_quat_inv(
+                        jnp.asarray(np.asarray(state.twist.angular,
+                                               dtype=np.float64)),
+                        jnp.asarray(quat)))
+                    qvel[envs, vadr:vadr + 3] = state.twist.linear
+                    qvel[envs, vadr + 3:vadr + 6] = w_local
+                self.d = self.d.replace(
+                    qpos=jnp.asarray(qpos, dtype=self.d.qpos.dtype),
+                    qvel=jnp.asarray(qvel, dtype=self.d.qvel.dtype))
+            if set_mass:
+                body_mass = np.array(m.body_mass)
+                body_mass[b] = state.mass
+                newm = m.replace(body_mass=jnp.asarray(body_mass))
+                newm = constants.set_constants(newm)   # mj_setConst re-derive
+                self.m = newm
+        return ServiceResult(True, "")
+
+    # -- geom properties ----------------------------------------------
+
+    def get_geom_properties(self, name: str) -> GeomProperties:
+        m = self.m
+        g = m.geom(name)
+        fr = np.asarray(m.geom_friction[g])
+        sz = np.asarray(m.geom_size[g])
+        return GeomProperties(
+            name=name, type=m.geom_type[g],
+            body_mass=float(np.asarray(m.body_mass[m.geom_bodyid[g]])),
+            friction_slide=float(fr[0]), friction_spin=float(fr[1]),
+            friction_roll=float(fr[2]),
+            size_0=float(sz[0]), size_1=float(sz[1]), size_2=float(sz[2]))
+
+    def set_geom_properties(self, props: GeomProperties,
+                            set_type: bool = False, set_mass: bool = False,
+                            set_friction: bool = False, set_size: bool = False,
+                            admin_hash: str = "") -> ServiceResult:
+        """SetGeomProperties (callbacks.cpp:508-592)."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        m = self.m
+        try:
+            g = m.geom(props.name)
+        except ValueError:
+            return ServiceResult(False, f"geom '{props.name}' not found")
+        with self._lock:
+            updates = {}
+            if set_friction:
+                fr = np.array(m.geom_friction)
+                fr[g] = [props.friction_slide, props.friction_spin,
+                         props.friction_roll]
+                updates["geom_friction"] = jnp.asarray(fr)
+            if set_size:
+                sz = np.array(m.geom_size)
+                sz[g] = [props.size_0, props.size_1, props.size_2]
+                updates["geom_size"] = jnp.asarray(sz)
+                rb = np.array(m.geom_rbound)
+                from mujoco_ros_pkgs_tpu.core.mjcf import _geom_rbound
+                rb[g] = _geom_rbound(m.geom_type[g], sz[g])
+                updates["geom_rbound"] = jnp.asarray(rb)
+            if set_mass:
+                bm = np.array(m.body_mass)
+                bm[m.geom_bodyid[g]] = props.body_mass
+                updates["body_mass"] = jnp.asarray(bm)
+            newm = m.replace(**updates) if updates else m
+            if set_type and props.type != m.geom_type[g]:
+                # static structure change → recompile-level mutation
+                gt = list(m.geom_type)
+                gt[g] = int(props.type)
+                newm = newm.replace(geom_type=tuple(gt))
+            if updates or set_type:
+                newm = constants.set_constants(newm)
+                self.m = newm
+                for p in self.registry.cb_ready:
+                    p.on_geom_changed(newm, g)
+        return ServiceResult(True, "")
+
+    # -- gravity -------------------------------------------------------
+
+    def get_gravity(self) -> np.ndarray:
+        return np.asarray(self.m.opt.gravity)
+
+    def set_gravity(self, gravity, admin_hash: str = "") -> ServiceResult:
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        with self._lock:
+            self.m = self.m.replace(opt=self.m.opt.replace(
+                gravity=jnp.asarray(np.asarray(gravity, dtype=np.float64))))
+        return ServiceResult(True, "")
+
+    # -- equality constraints -----------------------------------------
+
+    def get_eq_constraint_parameters(self, name: str, env_id: int = 0
+                                     ) -> EqualityConstraintParameters:
+        m = self.m
+        e = m.eq_names.index(name)
+        data = np.asarray(m.eq_data[e])
+        solref = np.asarray(m.eq_solref[e])
+        solimp = np.asarray(m.eq_solimp[e])
+        p = EqualityConstraintParameters(
+            name=name, type=m.eq_type[e],
+            active=bool(np.asarray(self.d.eq_active[env_id, e])),
+            solverParameters=SolverParameters(
+                dmin=solimp[0], dmax=solimp[1], width=solimp[2],
+                midpoint=solimp[3], power=solimp[4],
+                timeconst=solref[0], dampratio=solref[1]))
+        if m.eq_type[e] == int(EqType.CONNECT):
+            p.anchor = data[0:3].copy()
+            p.element1 = m.body_names[m.eq_obj1id[e]]
+            p.element2 = m.body_names[m.eq_obj2id[e]]
+        elif m.eq_type[e] == int(EqType.WELD):
+            p.anchor = data[0:3].copy()
+            p.relpose = Pose(data[3:6].copy(), data[6:10].copy())
+            p.torquescale = float(data[10])
+            p.element1 = m.body_names[m.eq_obj1id[e]]
+            p.element2 = m.body_names[m.eq_obj2id[e]]
+        elif m.eq_type[e] == int(EqType.JOINT):
+            p.polycoef = data[0:5].copy()
+            p.element1 = m.jnt_names[m.eq_obj1id[e]]
+            p.element2 = (m.jnt_names[m.eq_obj2id[e]]
+                          if m.eq_obj2id[e] >= 0 else "")
+        else:
+            p.polycoef = data[0:5].copy()
+            p.element1 = m.tendon_names[m.eq_obj1id[e]]
+            p.element2 = (m.tendon_names[m.eq_obj2id[e]]
+                          if m.eq_obj2id[e] >= 0 else "")
+        return p
+
+    def set_eq_constraint_parameters(self, p: EqualityConstraintParameters,
+                                     admin_hash: str = "") -> ServiceResult:
+        """SetEqualityConstraintParameters (callbacks.cpp:641-884)."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        m = self.m
+        try:
+            e = m.eq_names.index(p.name)
+        except ValueError:
+            return ServiceResult(False, f"equality '{p.name}' not found")
+        with self._lock:
+            data = np.array(m.eq_data)
+            solref = np.array(m.eq_solref)
+            solimp = np.array(m.eq_solimp)
+            sp = p.solverParameters
+            solimp[e] = [sp.dmin, sp.dmax, sp.width, sp.midpoint, sp.power]
+            solref[e] = [sp.timeconst, sp.dampratio]
+            if m.eq_type[e] == int(EqType.CONNECT):
+                data[e, 0:3] = p.anchor
+            elif m.eq_type[e] == int(EqType.WELD):
+                data[e, 0:3] = p.anchor
+                q = np.asarray(p.relpose.orientation, dtype=np.float64)
+                qn = np.linalg.norm(q)
+                data[e, 3:6] = p.relpose.position
+                data[e, 6:10] = q / qn if qn > 1e-15 else [1, 0, 0, 0]
+                data[e, 10] = p.torquescale
+            else:
+                data[e, 0:5] = p.polycoef
+            self.m = m.replace(eq_data=jnp.asarray(data),
+                               eq_solref=jnp.asarray(solref),
+                               eq_solimp=jnp.asarray(solimp))
+            ea = np.array(self.d.eq_active)
+            envs = slice(None) if p.env_id is None else p.env_id
+            ea[envs, e] = bool(p.active)
+            self.d = self.d.replace(eq_active=jnp.asarray(ea))
+        return ServiceResult(True, "")
+
+    # -- plugin-backed services ---------------------------------------
+
+    def _plugin_of(self, cls):
+        for i, p in enumerate(self.registry.cb_ready):
+            if isinstance(p, cls):
+                return i, p
+        return None, None
+
+    def set_mocap_state(self, state: MocapState,
+                        admin_hash: str = "") -> ServiceResult:
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        from mujoco_ros_pkgs_tpu.plugins.mocap import MocapPlugin
+        i, p = self._plugin_of(MocapPlugin)
+        if p is None:
+            return ServiceResult(False, "no mocap plugin loaded")
+        with self._lock:
+            states = list(self.pstates)
+            states[i], res = p.set_state(states[i], state)
+            self.pstates = tuple(states)
+        return res
+
+    def register_noise_models(self, models, admin_hash: str = "") -> ServiceResult:
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        from mujoco_ros_pkgs_tpu.plugins.sensors import SensorsPlugin
+        i, p = self._plugin_of(SensorsPlugin)
+        if p is None:
+            return ServiceResult(False, "no sensors plugin loaded")
+        with self._lock:
+            rejected = p.register_noise_models(models)
+            mean, std, enabled = p.noise_arrays(self.m)
+            ps = dict(self.pstates[i])
+            ps["mean"] = jnp.broadcast_to(mean, (self.nenv,) + mean.shape)
+            ps["std"] = jnp.broadcast_to(std, (self.nenv,) + std.shape)
+            ps["enabled"] = jnp.broadcast_to(enabled,
+                                             (self.nenv,) + enabled.shape)
+            states = list(self.pstates)
+            states[i] = ps
+            self.pstates = tuple(states)
+        return ServiceResult(rejected == 0, f"{rejected} models rejected")
+
+    def sensor_outputs(self, env_id: int = 0):
+        """Read the sensors plugin's (noisy, ground-truth) arrays.
+        GT is withheld in eval mode (plugin.cpp:64-68)."""
+        from mujoco_ros_pkgs_tpu.plugins.sensors import SensorsPlugin
+        i, p = self._plugin_of(SensorsPlugin)
+        if p is None:
+            return None, None
+        ps = self.pstates[i]
+        noisy = np.asarray(ps["noisy"][env_id])
+        gt = None if self.eval_mode else np.asarray(ps["gt"][env_id])
+        return noisy, gt
+
+    def load_initial_joint_states(self, positions: dict, velocities: dict,
+                                  admin_hash: str = "") -> ServiceResult:
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        with self._lock:
+            self._init_js = dict(positions)
+            self._init_jv = dict(velocities)
+            self._apply_initial_joint_states()
+        return ServiceResult(True, "")

@@ -1,0 +1,102 @@
+"""Constraint-solver parity vs libmujoco: efc rows and solved accelerations.
+
+Covers the constraint sources the reference's services manipulate: equality
+constraints (mujoco_ros/src/callbacks.cpp:641-884), contacts with elliptic
+cones (reference worlds set cone="elliptic"), and full mj_step trajectories on
+the reference pendulum world with the ball falling onto the plane.
+"""
+
+import mujoco
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import mujoco_ros_pkgs_tpu as mrt
+from mujoco_ros_pkgs_tpu.ops import forward, efc as efcmod
+from tests import oracle
+
+PEND = oracle.REF_WORLDS + "/pendulum_world.xml"
+EQW = oracle.REF_WORLDS + "/equality_world.xml"
+
+SPHERE_XML = """<mujoco><option timestep="0.001" cone="elliptic" impratio="2"/>
+<worldbody><geom name="floor" type="plane" size="5 5 1"/>
+<body pos="0 0 0.048"><freejoint/>
+<geom type="sphere" size="0.05" mass="0.1" friction="1 0.006 0.0002"/></body>
+</worldbody></mujoco>"""
+
+
+def _perturbed_state(mm, seed, scale=0.1):
+    rng = np.random.default_rng(seed)
+    qpos = mm.qpos0 + rng.uniform(-scale, scale, mm.nq)
+    for j in range(mm.njnt):
+        if mm.jnt_type[j] in (0, 1):
+            adr = mm.jnt_qposadr[j] + (3 if mm.jnt_type[j] == 0 else 0)
+            qpos[adr:adr + 4] /= np.linalg.norm(qpos[adr:adr + 4])
+    qvel = rng.uniform(-0.5, 0.5, mm.nv)
+    return qpos, qvel
+
+
+@pytest.mark.parametrize("qvel0", [
+    np.zeros(6),
+    np.array([2.0, 0, 0, 0, 0, 0]),     # sliding (cone middle zone)
+    np.array([0.0, 0, 3.0, 0, 0, 0]),   # separating (cone top zone)
+    np.array([0.5, -0.3, -1.0, 2.0, 0, 1.0]),  # tumbling
+])
+def test_sphere_plane_qacc(qvel0):
+    mm = mujoco.MjModel.from_xml_string(SPHERE_XML)
+    dd = mujoco.MjData(mm)
+    dd.qvel[:] = qvel0
+    mujoco.mj_forward(mm, dd)
+
+    m = mrt.load_model_from_string(SPHERE_XML)
+    d = forward.make_data(m).replace(qvel=jnp.asarray(qvel0))
+    d = jax.jit(lambda d: forward.forward(m, d))(d)
+    np.testing.assert_allclose(np.asarray(d.qacc), dd.qacc, atol=1e-8)
+
+
+def test_equality_world_efc_rows():
+    m = mrt.load_model(EQW)
+    mm = oracle.load_oracle(EQW)
+    qpos, qvel = _perturbed_state(mm, 2)
+    dd = mujoco.MjData(mm)
+    dd.qpos[:] = qpos
+    dd.qvel[:] = qvel
+    mujoco.mj_forward(mm, dd)
+
+    d = forward.make_data(m).replace(qpos=jnp.asarray(qpos),
+                                     qvel=jnp.asarray(qvel))
+    d = jax.jit(lambda d: forward.forward(m, d))(d)
+    e = jax.jit(lambda d: efcmod.make_efc(m, d))(d)
+    act = np.asarray(e.active)
+    assert act.sum() == dd.nefc
+    oJ = dd.efc_J.reshape(dd.nefc, -1)
+    np.testing.assert_allclose(np.asarray(e.J)[act], oJ, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(e.pos)[act], dd.efc_pos, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(e.D)[act], dd.efc_D,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(e.aref)[act], dd.efc_aref,
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(d.qacc), dd.qacc,
+                               rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("world,nsteps,atol_q", [
+    (PEND, 1000, 5e-6),
+    (EQW, 500, 5e-6),
+])
+def test_trajectory_parity_full(world, nsteps, atol_q):
+    """Full mj_step parity including contacts + equality + solver."""
+    m = mrt.load_model(world)
+    mm = oracle.load_oracle(world)
+    qpos_ref, qvel_ref = oracle.rollout(mm, nsteps)
+
+    d = forward.make_data(m)
+    step = jax.jit(lambda d: forward.step(m, d))
+    qpos_j = []
+    for _ in range(nsteps):
+        d = step(d)
+        qpos_j.append(np.asarray(d.qpos))
+    qpos_j = np.array(qpos_j)
+    np.testing.assert_allclose(qpos_j, qpos_ref, atol=atol_q)

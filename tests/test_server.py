@@ -1,0 +1,184 @@
+"""Server control-plane semantics — mirrors the reference's gtest suites
+mujoco_ros/test/mujoco_env_test.cpp and ros_interface_test.cpp (SURVEY.md §4):
+eval-mode hash enforcement, pause gating, step edge cases, clock advance,
+num_steps termination, reset/reload semantics (incl. rollback), body-state /
+geom-property / equality services, initial joint states."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mujoco_ros_pkgs_tpu.models import worlds
+from mujoco_ros_pkgs_tpu.msgs import (
+    BodyState, EqualityConstraintParameters, GeomProperties, Pose, Twist,
+)
+from mujoco_ros_pkgs_tpu.server import AdminHashError, MujocoServer
+
+
+@pytest.fixture(scope="module")
+def srv():
+    return MujocoServer(worlds.BOXES, nenv=4, unpause=False)
+
+
+def test_eval_mode_requires_hash():
+    # mujoco_env.cpp:92-105: ctor throws in eval mode without a hash
+    with pytest.raises(AdminHashError):
+        MujocoServer(worlds.BOXES, nenv=1, eval_mode=True)
+
+
+def test_eval_mode_hash_gating():
+    s = MujocoServer(worlds.BOXES, nenv=1, eval_mode=True,
+                     admin_hash="secret", unpause=False)
+    assert not s.set_pause(False, admin_hash="wrong").success
+    assert s.set_pause(False, admin_hash="secret").success
+    assert not s.reset(admin_hash="bad").success
+    assert s.reset(admin_hash="secret").success
+
+
+def test_step_edge_cases(srv):
+    # negative / zero step counts rejected (mujoco_env_test.cpp:155-275)
+    assert not srv.step(0).success
+    assert not srv.step(-5).success
+    assert srv.step(1).success
+
+
+def test_clock_advances_exactly(srv):
+    # /clock advances exactly timestep*steps (ros_interface_test.cpp:78-98)
+    srv.reset()
+    ticks = []
+    srv.subscribe_clock(ticks.append)
+    t0 = srv.sim_time
+    assert srv.step(100).success
+    dt = float(np.asarray(srv.m.opt.timestep))
+    assert np.isclose(srv.sim_time - t0, 100 * dt, atol=1e-12)
+    assert ticks and np.isclose(ticks[-1], srv.sim_time)
+    srv._clock_subs.clear()
+
+
+def test_num_steps_termination():
+    s = MujocoServer(worlds.BOXES, nenv=1, unpause=True, num_steps=10)
+    s.start_physics_loop()
+    import time
+    deadline = time.time() + 180   # two scan-graph compiles on CPU are slow
+    while s.num_steps_until_exit > 0 and time.time() < deadline:
+        time.sleep(0.05)
+    s.stop_physics_loop()
+    assert s.num_steps_until_exit == 0
+    dt = float(np.asarray(s.m.opt.timestep))
+    assert np.isclose(s.sim_time, 10 * dt, atol=1e-12)
+
+
+def test_reset_restores_state(srv):
+    srv.reset()
+    q0 = np.asarray(srv.d.qpos).copy()
+    srv.step(50)
+    assert not np.allclose(np.asarray(srv.d.qpos), q0)
+    srv.reset()
+    np.testing.assert_allclose(np.asarray(srv.d.qpos), q0)
+    assert srv.sim_time == 0.0
+
+
+def test_reload_rollback_on_bad_model(srv):
+    # initModelFromQueue rollback (mujoco_env.cpp:851-869)
+    old_nq = srv.m.nq
+    res = srv.reload("<mujoco><worldbody><geom type=\"banana\"/></worldbody></mujoco>")
+    assert not res.success
+    assert srv.m.nq == old_nq                 # old model intact
+    assert srv.get_loading_request_state().value == 0
+    assert srv.step(1).success                # still steppable
+
+
+def test_reload_new_model(srv):
+    res = srv.reload(worlds.PENDULUM)
+    assert res.success
+    assert srv.m.name == "pendulum_bench"
+    srv.reload(worlds.BOXES)
+    assert srv.m.name == "boxes_bench"
+
+
+def test_body_state_services(srv):
+    srv.reset()
+    st = srv.get_body_state("box")
+    assert st.mass > 0
+    new = BodyState(name="box",
+                    pose=Pose(np.array([0.3, 0.2, 1.0]),
+                              np.array([1.0, 0, 0, 0])),
+                    twist=Twist(np.array([0.1, 0, 0]), np.zeros(3)))
+    assert srv.set_body_state(new).success
+    rd = srv.get_body_state("box")
+    np.testing.assert_allclose(rd.pose.position, [0.3, 0.2, 1.0])
+    np.testing.assert_allclose(rd.twist.linear, [0.1, 0, 0], atol=1e-12)
+    # mass change re-derives constants (callbacks.cpp:244-258)
+    inv0 = np.asarray(srv.m.dof_invweight0).copy()
+    new.mass = 2.0
+    assert srv.set_body_state(new, set_pose=False, set_twist=False,
+                              set_mass=True).success
+    assert srv.get_body_state("box").mass == 2.0
+    assert not np.allclose(np.asarray(srv.m.dof_invweight0), inv0)
+    # error branch: unknown body
+    assert not srv.set_body_state(BodyState(name="nope")).success
+
+
+def test_geom_properties_services(srv):
+    props = srv.get_geom_properties("box")
+    assert props.size_0 > 0
+    props.friction_slide = 0.7
+    assert srv.set_geom_properties(props, set_friction=True).success
+    assert np.isclose(srv.get_geom_properties("box").friction_slide, 0.7)
+    props.size_0 = 0.2
+    assert srv.set_geom_properties(props, set_size=True).success
+    g = srv.m.geom("box")
+    assert np.isclose(float(np.asarray(srv.m.geom_size[g, 0])), 0.2)
+    assert not srv.set_geom_properties(
+        GeomProperties(name="missing"), set_friction=True).success
+
+
+def test_gravity_services(srv):
+    np.testing.assert_allclose(srv.get_gravity(), [0, 0, -9.81])
+    assert srv.set_gravity([0, 0, -1.62]).success
+    np.testing.assert_allclose(srv.get_gravity(), [0, 0, -1.62])
+    srv.set_gravity([0, 0, -9.81])
+
+
+def test_initial_joint_states():
+    s = MujocoServer(worlds.PENDULUM, nenv=2, unpause=False,
+                     initial_joint_states={"joint1": [0.4]},
+                     initial_joint_velocities={"joint2": [-0.2]})
+    j1 = s.m.joint("joint1")
+    j2 = s.m.joint("joint2")
+    assert np.allclose(np.asarray(s.d.qpos)[:, s.m.jnt_qposadr[j1]], 0.4)
+    assert np.allclose(np.asarray(s.d.qvel)[:, s.m.jnt_dofadr[j2]], -0.2)
+    # reapplied on reset (ros_interface_test.cpp:263-425)
+    s.step(20)
+    s.reset()
+    assert np.allclose(np.asarray(s.d.qpos)[:, s.m.jnt_qposadr[j1]], 0.4)
+    assert np.allclose(np.asarray(s.d.qvel)[:, s.m.jnt_dofadr[j2]], -0.2)
+
+
+def test_equality_services():
+    s = MujocoServer(worlds.ARM7, nenv=2, unpause=False)
+    p = s.get_eq_constraint_parameters("ee_target")
+    assert not p.active
+    assert p.element1 == "mocap_target"
+    p.active = True
+    p.torquescale = 0.5
+    p.solverParameters.timeconst = 0.05
+    assert s.set_eq_constraint_parameters(p).success
+    rd = s.get_eq_constraint_parameters("ee_target")
+    assert rd.active
+    assert np.isclose(rd.torquescale, 0.5)
+    assert np.isclose(rd.solverParameters.timeconst, 0.05)
+    assert not s.set_eq_constraint_parameters(
+        EqualityConstraintParameters(name="ghost")).success
+
+
+def test_batched_envs_diverge_with_different_state():
+    s = MujocoServer(worlds.BOXES, nenv=3, unpause=False)
+    qpos = np.array(s.d.qpos)
+    qpos[1, 2] += 0.5   # raise env 1's box
+    s.d = s.d.replace(qpos=jnp.asarray(qpos))
+    s.step(25)
+    z = np.asarray(s.d.qpos)[:, 2]
+    assert not np.isclose(z[0], z[1])
+    assert np.isclose(z[0], z[2])   # identical envs stay lockstep
