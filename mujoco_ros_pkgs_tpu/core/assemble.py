@@ -53,7 +53,7 @@ def _tri(e, name, autolimits, has_range):
     return 1 if v.lower() in ("true", "1") else 0
 
 
-def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, opt):
+def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams, opt):
     import jax.numpy as jnp
     from mujoco_ros_pkgs_tpu.core.mjcf import _apply_defaults, _quat_mul, _quat_rot, _quat_to_mat
 
@@ -574,6 +574,13 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, opt):
         site_bodyid=tuple(s.bodyid for s in sites),
         site_pos=J(np.stack([s.pos for s in sites]) if nsite else np.zeros((0, 3))),
         site_quat=J(np.stack([s.quat for s in sites]) if nsite else np.zeros((0, 4))),
+        ncam=len(cams),
+        cam_bodyid=tuple(c.bodyid for c in cams),
+        cam_names=tuple(c.name for c in cams),
+        cam_pos=J(np.stack([c.pos for c in cams]) if cams else np.zeros((0, 3))),
+        cam_quat=J(np.stack([c.quat for c in cams]) if cams else np.zeros((0, 4))),
+        cam_fovy=J(np.array([c.fovy for c in cams])),
+        geom_rgba=J(np.stack([g.rgba for g in geoms]) if ngeom else np.zeros((0, 4))),
         eq_type=tuple(eq_type), eq_obj1id=tuple(eq_obj1id),
         eq_obj2id=tuple(eq_obj2id), eq_active0=tuple(eq_active0),
         eq_solref=J(eq_solref), eq_solimp=J(eq_solimp), eq_data=J(eq_data),

@@ -202,15 +202,19 @@ def _principal_inertia(full: np.ndarray):
     return w, _mat_to_quat(V)
 
 
-def _z2quat(vec: np.ndarray) -> np.ndarray:
-    """Minimal rotation taking +z to vec (mjuu_z2quat). Bug-compatible with
-    libmujoco: returns identity when the cross product vanishes, INCLUDING the
-    antiparallel case (harmless for the z-symmetric geoms fromto applies to)."""
+def _z2quat(vec: np.ndarray, degenerate_identity: bool = True) -> np.ndarray:
+    """Minimal rotation taking +z to vec (mjuu_z2quat semantics, verified
+    against the oracle): the FROMTO path returns identity whenever the cross
+    product vanishes (including antiparallel — harmless for the z-symmetric
+    geoms fromto applies to), while the ZAXIS attribute path falls back to a
+    180-degree rotation about x for the antiparallel case."""
     z = vec / np.linalg.norm(vec)
     axis = np.cross([0.0, 0, 1], z)
     s = np.linalg.norm(axis)
     if s < 1e-10:
-        return np.array([1.0, 0, 0, 0])
+        if degenerate_identity or z[2] > 0:
+            return np.array([1.0, 0, 0, 0])
+        return _axis_angle_quat(np.array([1.0, 0, 0]), np.pi)
     return _axis_angle_quat(axis, np.arctan2(s, z[2]))
 
 
@@ -228,7 +232,7 @@ def _orientation(e: ET.Element, comp: _Compiler) -> np.ndarray:
             q = _quat_mul(q, qi) if ax.islower() else _quat_mul(qi, q)
         return q
     if e.get("zaxis") is not None:
-        return _z2quat(_floats(e.get("zaxis")))
+        return _z2quat(_floats(e.get("zaxis")), degenerate_identity=False)
     if e.get("xyaxes") is not None:
         v = _floats(e.get("xyaxes"))
         x = v[:3] / np.linalg.norm(v[:3])
@@ -392,13 +396,18 @@ def load_model(path: str, dtype=None) -> types.Model:
 
 def load_model_from_string(xml: str, dtype=None, base_dir: str = ".") -> types.Model:
     """Compile an MJCF string to a Model (mirrors the reference's VFS string-load
-    path, mujoco_ros/src/mujoco_env.cpp:771-911)."""
+    path, mujoco_ros/src/mujoco_env.cpp:771-911).
+
+    Compilation always runs on CPU: it is eager host-side math, and remote
+    accelerator backends (the axon tunnel) pay one RPC per eager op."""
+    import jax
     root = ET.fromstring(xml)
     if root.tag != "mujoco":
         raise ValueError(f"expected <mujoco> root, got <{root.tag}>")
-    m = _compile(root, base_dir)
-    if dtype is not None:
-        m = m.astype(dtype)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        m = _compile(root, base_dir)
+        if dtype is not None:
+            m = m.astype(dtype)
     return m
 
 
@@ -460,6 +469,7 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
     jnts: List[Any] = []
     geoms: List[Any] = []
     sites: List[Any] = []
+    cams: List[Any] = []
 
     world = _Body()
     world.name = "world"
@@ -531,6 +541,7 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
         g.solimp = _attr_f(e, "solimp", _SOLIMP)
         g.margin = float(_attr_s(e, "margin", "0"))
         g.gap = float(_attr_s(e, "gap", "0"))
+        g.rgba = _attr_f(e, "rgba", [0.5, 0.5, 0.5, 1.0], n=4)
         g.pos = _attr_f(e, "pos", [0, 0, 0])
         g.quat = _orientation(e, comp)
         if e.get("fromto") is not None:
@@ -566,6 +577,17 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
             s.quat = _z2quat(b - a)
         sites.append(s)
         return len(sites) - 1
+
+    def parse_camera(e, bodyid):
+        c = _Geom()
+        c.name = _attr_s(e, "name")
+        c.bodyid = bodyid
+        c.pos = _attr_f(e, "pos", [0, 0, 0])
+        c.quat = _orientation(e, comp)
+        # mujoco stores fovy in degrees regardless of compiler angle
+        c.fovy = float(_attr_s(e, "fovy", "45"))
+        cams.append(c)
+        return len(cams) - 1
 
     def walk_body(e: ET.Element, parentid: int, parent_class: str):
         b = _Body()
@@ -604,6 +626,8 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
                 b.geoms.append(parse_geom(child, bclass, bid))
             elif child.tag == "site":
                 parse_site(child, bclass, bid)
+            elif child.tag == "camera":
+                parse_camera(child, bid)
             elif child.tag == "body":
                 walk_body(child, bid, bclass)
 
@@ -615,6 +639,8 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
             world.geoms.append(parse_geom(child, "main", 0))
         elif child.tag == "site":
             parse_site(child, "main", 0)
+        elif child.tag == "camera":
+            parse_camera(child, 0)
         elif child.tag == "body":
             walk_body(child, 0, "main")
 
@@ -649,7 +675,7 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
             pass  # not needed by the reference worlds
 
     from mujoco_ros_pkgs_tpu.core.assemble import _assemble
-    n_out = _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites,
+    n_out = _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
                       dict(timestep=timestep, gravity=gravity, wind=wind,
                            magnetic=magnetic, density=density,
                            viscosity=viscosity, impratio=impratio,

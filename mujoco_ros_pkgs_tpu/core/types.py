@@ -311,6 +311,15 @@ class Model:
     site_pos: jax.Array = None       # (nsite, 3)
     site_quat: jax.Array = None      # (nsite, 4)
 
+    # ---- cameras (render/ L3) ----
+    ncam: int = _static(default=0)
+    cam_bodyid: Tuple[int, ...] = _static(default=())
+    cam_names: Tuple[str, ...] = _static(default=())
+    cam_pos: jax.Array = None        # (ncam, 3)
+    cam_quat: jax.Array = None       # (ncam, 4)
+    cam_fovy: jax.Array = None       # (ncam,)
+    geom_rgba: jax.Array = None      # (ngeom, 4) for the raycast renderer
+
     # ---- equality constraints ----
     eq_type: Tuple[int, ...] = _static(default=())
     eq_obj1id: Tuple[int, ...] = _static(default=())

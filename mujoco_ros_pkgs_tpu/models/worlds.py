@@ -93,25 +93,25 @@ ARM7 = """
     </body>
     <body name="link0" pos="0 0 0.1">
       <geom type="capsule" fromto="0 0 0 0 0 0.2" size="0.05"/>
-      <joint name="j0" type="hinge" axis="0 0 1" range="-3 3" damping="1"/>
+      <joint name="j0" type="hinge" axis="0 0 1" range="-3 3" damping="1" armature="0.1"/>
       <body name="link1" pos="0 0 0.2">
         <geom type="capsule" fromto="0 0 0 0 0 0.2" size="0.045"/>
-        <joint name="j1" type="hinge" axis="0 1 0" range="-2 2" damping="1"/>
+        <joint name="j1" type="hinge" axis="0 1 0" range="-2 2" damping="1" armature="0.1"/>
         <body name="link2" pos="0 0 0.2">
           <geom type="capsule" fromto="0 0 0 0 0 0.2" size="0.04"/>
-          <joint name="j2" type="hinge" axis="0 0 1" range="-3 3" damping="1"/>
+          <joint name="j2" type="hinge" axis="0 0 1" range="-3 3" damping="1" armature="0.1"/>
           <body name="link3" pos="0 0 0.2">
             <geom type="capsule" fromto="0 0 0 0 0 0.2" size="0.035"/>
-            <joint name="j3" type="hinge" axis="0 1 0" range="-2 2" damping="1"/>
+            <joint name="j3" type="hinge" axis="0 1 0" range="-2 2" damping="1" armature="0.1"/>
             <body name="link4" pos="0 0 0.2">
               <geom type="capsule" fromto="0 0 0 0 0 0.15" size="0.03"/>
-              <joint name="j4" type="hinge" axis="0 0 1" range="-3 3" damping="0.5"/>
+              <joint name="j4" type="hinge" axis="0 0 1" range="-3 3" damping="0.5" armature="0.05"/>
               <body name="link5" pos="0 0 0.15">
                 <geom type="capsule" fromto="0 0 0 0 0 0.15" size="0.025"/>
-                <joint name="j5" type="hinge" axis="0 1 0" range="-2 2" damping="0.5"/>
+                <joint name="j5" type="hinge" axis="0 1 0" range="-2 2" damping="0.5" armature="0.05"/>
                 <body name="link6" pos="0 0 0.15">
                   <geom name="ee" type="capsule" fromto="0 0 0 0 0 0.1" size="0.02"/>
-                  <joint name="j6" type="hinge" axis="0 0 1" range="-3 3" damping="0.5"/>
+                  <joint name="j6" type="hinge" axis="0 0 1" range="-3 3" damping="0.5" armature="0.05"/>
                   <site name="ee_site" pos="0 0 0.1"/>
                 </body>
               </body>
@@ -126,10 +126,10 @@ ARM7 = """
           solref="0.02 1" active="false"/>
   </equality>
   <actuator>
-    <position name="p0" joint="j0" kp="80" kv="8" ctrlrange="-3 3"/>
-    <position name="p1" joint="j1" kp="80" kv="8" ctrlrange="-2 2"/>
-    <position name="p2" joint="j2" kp="60" kv="6" ctrlrange="-3 3"/>
-    <position name="p3" joint="j3" kp="60" kv="6" ctrlrange="-2 2"/>
+    <position name="p0" joint="j0" kp="40" kv="4" ctrlrange="-3 3"/>
+    <position name="p1" joint="j1" kp="40" kv="4" ctrlrange="-2 2"/>
+    <position name="p2" joint="j2" kp="30" kv="3" ctrlrange="-3 3"/>
+    <position name="p3" joint="j3" kp="30" kv="3" ctrlrange="-2 2"/>
     <motor name="m4" joint="j4" ctrlrange="-20 20"/>
     <motor name="m5" joint="j5" ctrlrange="-20 20"/>
     <motor name="m6" joint="j6" ctrlrange="-10 10"/>

@@ -86,63 +86,79 @@ def _forces_and_weights(m: Model, efc: Efc, jar: jax.Array):
     w_diag = jnp.where(gate, D, w_diag)
     cost += jnp.sum(jnp.where(gate, 0.5 * D * jar * jar, 0.0))
 
-    # contacts
-    con_blocks = []  # (base, dim, W_block) for Hessian assembly
+    # contacts: grouped by condim and VECTORIZED over contacts in the group —
+    # one cone-projection program per distinct dim, batched (MXU-friendly,
+    # small traced graph even with hundreds of contact slots)
+    con_groups = []   # (idx (C,dim) static, W (C,dim,dim)) for Hessian
     gamma = m.opt.impratio
     sqrtg = jnp.sqrt(gamma)
+    by_dim = {}
     for ci, (base, dim) in enumerate(zip(efc.con_base, efc.con_dim)):
-        cact = efc.con_active[ci]
+        by_dim.setdefault(dim, []).append((ci, base))
+    for dim, items in sorted(by_dim.items()):
+        cis = np.array([c for c, _ in items])
+        bases = np.array([b for _, b in items])
+        idx = bases[:, None] + np.arange(dim)[None, :]      # (C, dim) static
+        u = jar[idx]                                        # (C, dim)
+        Dn = D[bases]                                       # (C,)
+        cact = efc.con_active[cis]                          # (C,) bool
         if dim == 1:
-            jn = jar[base]
+            jn = u[:, 0]
             gate = cact & (jn < 0)
-            f = f.at[base].set(jnp.where(gate, -D[base] * jn, f[base]))
-            w_diag = w_diag.at[base].set(jnp.where(gate, D[base], w_diag[base]))
-            cost += jnp.where(gate, 0.5 * D[base] * jn * jn, 0.0)
+            f = f.at[bases].set(jnp.where(gate, -Dn * jn, f[bases]))
+            w_diag = w_diag.at[bases].set(jnp.where(gate, Dn, w_diag[bases]))
+            cost += jnp.sum(jnp.where(gate, 0.5 * Dn * jn * jn, 0.0))
             continue
-        u = jax.lax.dynamic_slice(jar, (base,), (dim,))
-        Dn = D[base]
-        mu = efc.con_mu[ci]
-        mu0 = jnp.maximum(mu[0], mmath.MINVAL)
-        mu_k = mu[: dim - 1]
-        mu_t = mu0 / jnp.sqrt(gamma)  # circular cone coefficient
-        # scaled unconstrained force
-        p_n = -Dn * u[0]
-        c_k = sqrtg * mu0 / jnp.maximum(mu_k, mmath.MINVAL)
-        w_t = -Dn * c_k * u[1:]
-        g_n, g_t, inside, polar = _cone_project(p_n, w_t, mu_t)
-        b_k = sqrtg * mu_k / mu0
-        f_c = jnp.concatenate([g_n[None], b_k * g_t])
-        f_c = jnp.where(cact, f_c, jnp.zeros_like(f_c))
-        f = jax.lax.dynamic_update_slice(f, f_c, (base,))
-        # cost: 0.5 uᵀDu - 0.5 ||p - f||²_R   (R metric, p = -D∘u)
-        Dvec = jax.lax.dynamic_slice(D, (base,), (dim,))
-        Rvec = jax.lax.dynamic_slice(efc.R, (base,), (dim,))
-        p_full = -Dvec * u
-        c_cost = (0.5 * jnp.sum(Dvec * u * u)
-                  - 0.5 * jnp.sum(Rvec * (p_full - f_c) ** 2))
-        cost += jnp.where(cact, c_cost, 0.0)
-        # Hessian block W = -df/du (symmetrized)
-        s = mmath.norm_safe(w_t)
-        dirv = w_t / jnp.maximum(s, mmath.MINVAL)
+        mu = efc.con_mu[cis]                                # (C, 5)
+        mu0 = jnp.maximum(mu[:, 0], mmath.MINVAL)           # (C,)
+        mu_k = jnp.maximum(mu[:, : dim - 1], mmath.MINVAL)  # (C, dim-1)
+        mu_t = mu0 / sqrtg
+        p_n = -Dn * u[:, 0]
+        c_k = sqrtg * mu0[:, None] / mu_k
+        w_t = -Dn[:, None] * c_k * u[:, 1:]
+        s = jnp.sqrt(jnp.maximum(jnp.sum(w_t * w_t, axis=1),
+                                 mmath.MINVAL ** 2))
+        inside = s <= mu_t * p_n
+        polar = mu_t * s <= -p_n
         a2 = mu_t * mu_t
         beta = (p_n + mu_t * s) / (1.0 + a2)
-        eye = jnp.eye(dim - 1, dtype=dtype)
-        P00 = 1.0 / (1.0 + a2)
-        P0t = (mu_t / (1.0 + a2)) * dirv
-        Ptt = (mu_t * beta / jnp.maximum(s, mmath.MINVAL)) * (eye - jnp.outer(dirv, dirv)) \
-            + (a2 / (1.0 + a2)) * jnp.outer(dirv, dirv)
-        Pi = jnp.block([[P00[None, None], P0t[None, :]],
-                        [P0t[:, None], Ptt]])
-        Pi = jnp.where(inside, jnp.eye(dim, dtype=dtype), Pi)
-        Pi = jnp.where(polar, jnp.zeros((dim, dim), dtype=dtype), Pi)
-        B = jnp.concatenate([jnp.ones(1, dtype=dtype), b_k])
-        C = jnp.concatenate([jnp.ones(1, dtype=dtype), c_k])
-        W = Dn * (B[:, None] * Pi * C[None, :])
-        W = 0.5 * (W + W.T)
-        W = jnp.where(cact, W, jnp.zeros_like(W))
-        con_blocks.append((base, dim, W))
+        scale = mu_t * beta / s
+        g_n = jnp.where(inside, p_n, jnp.where(polar, 0.0, beta))
+        g_t = jnp.where(inside[:, None], w_t,
+                        jnp.where(polar[:, None], 0.0, scale[:, None] * w_t))
+        b_k = sqrtg * mu_k / mu0[:, None]
+        f_c = jnp.concatenate([g_n[:, None], b_k * g_t], axis=1)
+        f_c = jnp.where(cact[:, None], f_c, 0.0)
+        f = f.at[idx].set(f_c)
+        Dvec, Rvec = D[idx], efc.R[idx]
+        p_full = -Dvec * u
+        c_cost = (0.5 * jnp.sum(Dvec * u * u, axis=1)
+                  - 0.5 * jnp.sum(Rvec * (p_full - f_c) ** 2, axis=1))
+        cost += jnp.sum(jnp.where(cact, c_cost, 0.0))
+        # Hessian blocks W = -df/du (symmetrized), batched over contacts
+        dirv = w_t / s[:, None]
+        eye = jnp.eye(dim - 1, dtype=dtype)[None]
+        ddT = dirv[:, :, None] * dirv[:, None, :]
+        P00 = (1.0 / (1.0 + a2))[:, None, None]
+        P0t = (mu_t / (1.0 + a2))[:, None] * dirv            # (C, dim-1)
+        Ptt = ((mu_t * beta / s)[:, None, None] * (eye - ddT)
+               + (a2 / (1.0 + a2))[:, None, None] * ddT)
+        Pi = jnp.concatenate([
+            jnp.concatenate([P00, P0t[:, None, :]], axis=2),
+            jnp.concatenate([P0t[:, :, None], Ptt], axis=2)], axis=1)
+        eyed = jnp.eye(dim, dtype=dtype)[None]
+        Pi = jnp.where(inside[:, None, None], eyed, Pi)
+        Pi = jnp.where(polar[:, None, None], 0.0, Pi)
+        B = jnp.concatenate([jnp.ones((len(items), 1), dtype=dtype), b_k],
+                            axis=1)
+        C = jnp.concatenate([jnp.ones((len(items), 1), dtype=dtype), c_k],
+                            axis=1)
+        W = Dn[:, None, None] * (B[:, :, None] * Pi * C[:, None, :])
+        W = 0.5 * (W + jnp.swapaxes(W, 1, 2))
+        W = jnp.where(cact[:, None, None], W, 0.0)
+        con_groups.append((idx, W))
 
-    return f, w_diag, cost, con_blocks
+    return f, w_diag, cost, con_groups
 
 
 def _total_cost(m, efc, Mx_a, x_a, jar):
@@ -175,12 +191,12 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
     def newton_step(carry, _):
         x, done = carry
         jar = J @ x - efc.aref
-        f, w_diag, _, blocks = _forces_and_weights(m, efc, jar)
+        f, w_diag, _, groups = _forces_and_weights(m, efc, jar)
         grad = M @ (x - a_s) - J.T @ f
         H = M + (J.T * w_diag) @ J
-        for (base, dim, W) in blocks:
-            Jc = jax.lax.dynamic_slice(J, (base, 0), (dim, m.nv))
-            H = H + Jc.T @ W @ Jc
+        for (idx, W) in groups:
+            Jc = J[idx]                       # (C, dim, nv) static gather
+            H = H + jnp.einsum('cdv,cde,cew->vw', Jc, W, Jc)
         H = H + 1e-12 * jnp.eye(m.nv, dtype=dtype)
         L = jax.scipy.linalg.cholesky(H, lower=True)
         dx = -jax.scipy.linalg.cho_solve((L, True), grad)
@@ -193,28 +209,33 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
 
         def dphi(alpha):
             jj = jar + alpha * v
-            fa, wa, _, blks = _forces_and_weights(m, efc, jj)
+            fa, wa, _, grps = _forces_and_weights(m, efc, jj)
             d1 = gMd + alpha * dMd - jnp.dot(fa, v)
             d2 = dMd + jnp.dot(v * wa, v)
-            for (base, dim, W) in blks:
-                vc = jax.lax.dynamic_slice(v, (base,), (dim,))
-                d2 = d2 + vc @ W @ vc
+            for (idx, W) in grps:
+                vc = v[idx]                   # (C, dim)
+                d2 = d2 + jnp.einsum('cd,cde,ce->', vc, W, vc)
             return d1, d2
 
-        # bracket [0, hi]: expand hi until phi'(hi) >= 0
-        hi = jnp.ones((), dtype=dtype)
-        for _ in range(6):
+        # bracket [0, hi]: expand hi until phi'(hi) >= 0 (compiled as ONE
+        # fori body — keeps the traced program small)
+        def expand(_, hi):
             d1, _ = dphi(hi)
-            hi = jnp.where(d1 < 0, hi * 2.0, hi)
-        lo = jnp.zeros((), dtype=dtype)
-        alpha = jnp.ones((), dtype=dtype)
-        for _ in range(nls):
+            return jnp.where(d1 < 0, hi * 2.0, hi)
+        hi = jax.lax.fori_loop(0, 6, expand, jnp.ones((), dtype=dtype))
+
+        def ls_body(_, carry):
+            lo, hi, alpha = carry
             d1, d2 = dphi(alpha)
             lo = jnp.where(d1 < 0, alpha, lo)
             hi = jnp.where(d1 >= 0, alpha, hi)
             newton = alpha - d1 / jnp.maximum(d2, mmath.MINVAL)
             inb = (newton > lo) & (newton < hi)
             alpha = jnp.where(inb, newton, 0.5 * (lo + hi))
+            return lo, hi, alpha
+        lo = jnp.zeros((), dtype=dtype)
+        _, _, alpha = jax.lax.fori_loop(
+            0, nls, ls_body, (lo, hi, jnp.ones((), dtype=dtype)))
 
         x_new = x + alpha * dx
         improved = cost_at(x) - cost_at(x_new)

@@ -50,8 +50,8 @@ class MocapPlugin(MujocoPlugin):
         res = self.validate(state)
         if not res.success:
             return ps, res
-        pos = np.asarray(ps["pos"])
-        quat = np.asarray(ps["quat"])
+        pos = np.array(ps["pos"])     # copy: jax array buffers are read-only
+        quat = np.array(ps["quat"])
         for name, pose in zip(state.name, state.pose):
             mid = self._m.body_mocapid[self._m.body(name)]
             q = np.asarray(pose.orientation, dtype=np.float64)

@@ -101,20 +101,53 @@ def test_mocap_plugin():
     assert not s.set_mocap_state(MocapState(name=["ghost"], pose=[Pose()])).success
 
 
-def test_ros_control_position_pid():
-    cfg = {"joints": {"j0": {"method": "POSITION_PID",
-                             "pid": [40.0, 0.0, 4.0, 10.0],
-                             "effort_limit": 50.0}}}
+def _rc_server(cfg, nenv=1):
     p = RosControlPlugin(cfg)
-    s = MujocoServer(worlds.ARM7, nenv=1, unpause=False, plugins=[p])
+    s = MujocoServer(worlds.ARM7, nenv=nenv, unpause=False, plugins=[p])
     i, _ = s._plugin_of(RosControlPlugin)
+    return s, i
+
+
+def _set_cmd(s, i, value):
     states = list(s.pstates)
-    states[i] = dict(states[i], command=jnp.full((1, 1), 0.5))
+    states[i] = dict(states[i], command=jnp.full((s.nenv, 1), value))
     s.pstates = tuple(states)
-    s.step(800)
-    j0 = s.m.joint("j0")
-    q = float(np.asarray(s.d.qpos)[0, s.m.jnt_qposadr[j0]])
-    assert abs(q - 0.5) < 0.1, q    # PD pulls joint toward command
+
+
+def test_ros_control_position_direct():
+    # POSITION: direct qpos write, zeroing qvel (default_robot_hw_sim.cpp:
+    # 248-326 POSITION branch)
+    s, i = _rc_server({"joints": {"j4": {"method": "POSITION"}}})
+    _set_cmd(s, i, 0.7)
+    s.step(20)
+    j4 = s.m.joint("j4")
+    q = float(np.asarray(s.d.qpos)[0, s.m.jnt_qposadr[j4]])
+    assert abs(q - 0.7) < 1e-3, q
+
+
+def test_ros_control_velocity_direct():
+    s, i = _rc_server({"joints": {"j4": {"method": "VELOCITY"}}})
+    _set_cmd(s, i, 0.4)
+    s.step(50)
+    j4 = s.m.joint("j4")
+    v = float(np.asarray(s.d.qvel)[0, s.m.jnt_dofadr[j4]])
+    q = float(np.asarray(s.d.qpos)[0, s.m.jnt_qposadr[j4]])
+    assert abs(v - 0.4) < 0.05, v
+    assert q > 0.02, q    # joint actually moved
+
+
+def test_ros_control_position_pid():
+    # j5 (shoulder-like inertia); gentle PI-D gains; integral kills the
+    # gravity bias — mirrors the POSITION_PID branch with rosparam gains
+    cfg = {"joints": {"j5": {"method": "POSITION_PID",
+                             "pid": [3.0, 1.5, 0.3, 5.0],
+                             "effort_limit": 10.0}}}
+    s, i = _rc_server(cfg)
+    _set_cmd(s, i, 0.3)
+    s.step(1500)
+    j5 = s.m.joint("j5")
+    q = float(np.asarray(s.d.qpos)[0, s.m.jnt_qposadr[j5]])
+    assert abs(q - 0.3) < 0.12, q
 
 
 def test_ros_control_estop():
