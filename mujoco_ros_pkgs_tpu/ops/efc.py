@@ -385,11 +385,12 @@ def make_efc(m: Model, d: Data) -> Efc:
             actives.append(dist < margin)
             metas.append(RowMeta('lim'))
 
-    # ---- contacts (elliptic cone rows; pyramidal handled in solver) ----
+    # ---- contacts ----
     con_base: List[int] = []
     con_dim: List[int] = []
     con_act: List[jax.Array] = []
     con_mu: List[jax.Array] = []
+    pyramidal = m.opt.cone == 0
     if (m.ncon_max and not (m.opt.disableflags
                             & (DisableBit.CONSTRAINT | DisableBit.CONTACT))):
         c = d.contact
@@ -406,31 +407,55 @@ def make_efc(m: Model, d: Data) -> Efc:
             djp = (jacp2 - jacp1).T    # (3, nv)
             djr = (jacr2 - jacr1).T
             frame = c.frame[i]         # rows: n, t1, t2
+            Jn = frame[0] @ djp
+
+            def fric_jac(k):
+                if k <= 2:
+                    return frame[k] @ djp
+                if k == 3:
+                    return frame[0] @ djr
+                return frame[k - 3] @ djr
+
+            if pyramidal and dim > 1:
+                # facet rows Jn ± mu_i*Jt_i; one-sided quadratic cost ('lim');
+                # invweight 2*mu0^2*(1+mu0^2)*invw (oracle-verified)
+                mu0 = c.friction[i][0]
+                invw_p = 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) * invw
+                for k in range(1, dim):
+                    mu_k = c.friction[i][k - 1]
+                    Jt = fric_jac(k)
+                    for sgn in (1.0, -1.0):
+                        Jf = Jn + sgn * mu_k * Jt
+                        rows.append(_row(m, Jf, c.dist[i], c.includemargin[i],
+                                         invw_p, c.solref[i], c.solimp[i],
+                                         zero, Jf @ qvel))
+                        actives.append(act)
+                        metas.append(RowMeta('lim'))
+                continue
+
+            # elliptic (or frictionless): normal row + cone friction rows
             con_base.append(len(rows))
             con_dim.append(dim)
             con_act.append(act)
             con_mu.append(c.friction[i])
-            # normal row
-            Jn = frame[0] @ djp
             rows.append(_row(m, Jn, c.dist[i], c.includemargin[i], invw,
                              c.solref[i], c.solimp[i], zero, Jn @ qvel))
             actives.append(act)
             metas.append(RowMeta('con', len(con_base) - 1, 0))
-            # friction rows (impratio-scaled R)
             imprat = m.opt.impratio
             for k in range(1, dim):
-                if k <= 2:
-                    Jf = frame[k] @ djp
-                elif k == 3:
-                    Jf = frame[0] @ djr
-                else:
-                    Jf = frame[k - 3] @ djr
-                r = _row(m, Jf, zero, zero, invw / imprat, c.solref[i],
+                Jf = fric_jac(k)
+                # friction-row D: normal D * impratio; ROTATIONAL rows
+                # (torsional/rolling) additionally scale by mu_k^2
+                # (oracle-verified, tests/test_physics_extra condim probes)
+                scale = imprat
+                if k >= 3:
+                    scale = imprat * c.friction[i][k - 1] ** 2
+                r = _row(m, Jf, zero, zero, invw, c.solref[i],
                          c.solimp[i], zero, Jf @ qvel)
-                # friction rows share the NORMAL row's impedance: recompute
                 k_, b_, imp_ = _kbi(m, c.solref[i], c.solimp[i], c.dist[i],
                                     c.includemargin[i])
-                R = jnp.maximum((1.0 - imp_) / imp_ * invw / imprat,
+                R = jnp.maximum((1.0 - imp_) / imp_ * invw / scale,
                                 mmath.MINVAL)
                 r.update(R=R, D=1.0 / R, aref=-b_ * (Jf @ qvel))
                 rows.append(r)
@@ -465,6 +490,7 @@ def row_layout(m: Model):
     d.efc_force_contact."""
     nrow = 0
     eq_bases, fri_bases, lim_jnt, lim_ten, con_bases = [], [], {}, {}, []
+    con_nrows: List[int] = []
     if not (m.opt.disableflags & (DisableBit.CONSTRAINT | DisableBit.EQUALITY)):
         for e in range(m.neq):
             eq_bases.append(nrow)
@@ -489,9 +515,9 @@ def row_layout(m: Model):
                 nrow += 1
     if (m.ncon_max and not (m.opt.disableflags
                             & (DisableBit.CONSTRAINT | DisableBit.CONTACT))):
-        slot = 0
         from mujoco_ros_pkgs_tpu.ops.narrowphase import PAIR_NCON
         from mujoco_ros_pkgs_tpu.core.types import GeomType
+        pyramidal = m.opt.cone == 0
         for (g1, g2) in m.collision_pairs:
             t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
             cap = PAIR_NCON[(t1, t2)]
@@ -500,12 +526,14 @@ def row_layout(m: Model):
                 dim = (m.geom_condim[g1]
                        if m.geom_priority[g1] > m.geom_priority[g2]
                        else m.geom_condim[g2])
+            nrows_per = (2 * (dim - 1) if (pyramidal and dim > 1) else dim)
             for _ in range(cap):
                 con_bases.append(nrow)
-                nrow += dim
-                slot += 1
+                con_nrows.append(nrows_per)
+                nrow += nrows_per
     return dict(eq=eq_bases, fri=fri_bases, lim_jnt=lim_jnt, lim_ten=lim_ten,
-                con=con_bases, nrow=nrow)
+                con=con_bases, con_nrows=con_nrows,
+                pyramidal=(m.opt.cone == 0), nrow=nrow)
 
 
 def fwd_constraint(m: Model, d: Data) -> Data:

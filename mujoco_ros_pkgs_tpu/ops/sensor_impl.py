@@ -422,11 +422,18 @@ def sensor_acc(m: Model, d: Data) -> Data:
 
 
 def _contact_normal_force(m: Model, d: Data, ci: int):
-    """Normal force of contact slot ci from the stored efc force vector."""
+    """Normal force of contact slot ci from the stored efc force vector.
+    Elliptic: the normal row's force. Pyramidal: sum of facet forces (each
+    facet jacobian carries the normal with unit coefficient)."""
     from mujoco_ros_pkgs_tpu.ops import efc as efcmod
     layout = efcmod.row_layout(m)           # static, trace-time
     if ci >= len(layout['con']) or d.efc_force_contact.shape[0] < layout['nrow']:
         return jnp.zeros((), dtype=d.qpos.dtype)
     base = layout['con'][ci]
+    if layout['pyramidal'] and layout['con_nrows'][ci] > 1:
+        frc = jnp.sum(jax.lax.dynamic_slice(
+            d.efc_force_contact, (base,), (layout['con_nrows'][ci],)))
+    else:
+        frc = d.efc_force_contact[base]
     active = d.contact.dist[ci] < d.contact.includemargin[ci]
-    return jnp.where(active, d.efc_force_contact[base], 0.0)
+    return jnp.where(active, frc, 0.0)

@@ -109,52 +109,65 @@ def _forces_and_weights(m: Model, efc: Efc, jar: jax.Array):
             w_diag = w_diag.at[bases].set(jnp.where(gate, Dn, w_diag[bases]))
             cost += jnp.sum(jnp.where(gate, 0.5 * Dn * jn * jn, 0.0))
             continue
+        # ---- elliptic cone force (model pinned against the oracle): ----
+        # scaled force space h_k = f_k/sigma_k with sigma = max(mu0,1) for
+        # translational rows and mu_k for rotational rows; cone ||h|| <= f_n;
+        # force = projection of P = -D∘u in the diag(1/D) metric.
         mu = efc.con_mu[cis]                                # (C, 5)
         mu0 = jnp.maximum(mu[:, 0], mmath.MINVAL)           # (C,)
-        mu_k = jnp.maximum(mu[:, : dim - 1], mmath.MINVAL)  # (C, dim-1)
-        mu_t = mu0 / sqrtg
-        p_n = -Dn * u[:, 0]
-        c_k = sqrtg * mu0[:, None] / mu_k
-        w_t = -Dn[:, None] * c_k * u[:, 1:]
-        s = jnp.sqrt(jnp.maximum(jnp.sum(w_t * w_t, axis=1),
-                                 mmath.MINVAL ** 2))
-        inside = s <= mu_t * p_n
-        polar = mu_t * s <= -p_n
-        a2 = mu_t * mu_t
-        beta = (p_n + mu_t * s) / (1.0 + a2)
-        scale = mu_t * beta / s
-        g_n = jnp.where(inside, p_n, jnp.where(polar, 0.0, beta))
-        g_t = jnp.where(inside[:, None], w_t,
-                        jnp.where(polar[:, None], 0.0, scale[:, None] * w_t))
-        b_k = sqrtg * mu_k / mu0[:, None]
-        f_c = jnp.concatenate([g_n[:, None], b_k * g_t], axis=1)
+        sig_t = jnp.maximum(mu0, 1.0)
+        sigs = [jnp.broadcast_to(sig_t[:, None], (len(items), min(2, dim - 1)))]
+        if dim > 3:
+            sigs.append(jnp.maximum(mu[:, 2: dim - 1], mmath.MINVAL))
+        sigma = jnp.concatenate(sigs, axis=1)               # (C, dim-1)
+        Dvec = D[idx]                                       # (C, dim)
+        P_n = -Dn * u[:, 0]
+        P_t = -Dvec[:, 1:] * u[:, 1:]
+        p_hat = P_t / sigma
+        D_hat = Dvec[:, 1:] / (sigma * sigma)
+        T_hat = jnp.sqrt(jnp.maximum(jnp.sum(p_hat * p_hat, axis=1),
+                                     mmath.MINVAL ** 2))
+        inside = T_hat <= P_n
+        # middle-zone closed form (exact when D_hat uniform — always true
+        # except mu0>1 with condim>=4, where it is a tight approximation)
+        D_bar = jnp.mean(D_hat, axis=1)
+        fn_mid = ((P_n / Dn + T_hat / D_bar)
+                  / (1.0 / Dn + 1.0 / D_bar))
+        polar = fn_mid <= 0.0
+        f_n = jnp.where(inside, P_n, jnp.where(polar, 0.0, fn_mid))
+        dirs = p_hat / T_hat[:, None]
+        h_t = jnp.where(inside[:, None], p_hat,
+                        jnp.where(polar[:, None], 0.0,
+                                  fn_mid[:, None] * dirs))
+        f_t = sigma * h_t
+        f_c = jnp.concatenate([f_n[:, None], f_t], axis=1)
         f_c = jnp.where(cact[:, None], f_c, 0.0)
         f = f.at[idx].set(f_c)
-        Dvec, Rvec = D[idx], efc.R[idx]
-        p_full = -Dvec * u
+        Rvec = efc.R[idx]
+        p_full = jnp.concatenate([P_n[:, None], P_t], axis=1)
         c_cost = (0.5 * jnp.sum(Dvec * u * u, axis=1)
                   - 0.5 * jnp.sum(Rvec * (p_full - f_c) ** 2, axis=1))
         cost += jnp.sum(jnp.where(cact, c_cost, 0.0))
-        # Hessian blocks W = -df/du (symmetrized), batched over contacts
-        dirv = w_t / s[:, None]
+        # Hessian block W = -df/du (exact, symmetric for uniform D_hat):
+        #  W_nn = A,  W_nt = A*sigma*dir,
+        #  W_tt = sigma sigma^T ∘ [ (f_n*Dbar/T)(I - dd^T) + A dd^T ]
+        # with A = Dn*Dbar/(Dn+Dbar)
+        A = Dn * D_bar / (Dn + D_bar)
         eye = jnp.eye(dim - 1, dtype=dtype)[None]
-        ddT = dirv[:, :, None] * dirv[:, None, :]
-        P00 = (1.0 / (1.0 + a2))[:, None, None]
-        P0t = (mu_t / (1.0 + a2))[:, None] * dirv            # (C, dim-1)
-        Ptt = ((mu_t * beta / s)[:, None, None] * (eye - ddT)
-               + (a2 / (1.0 + a2))[:, None, None] * ddT)
-        Pi = jnp.concatenate([
-            jnp.concatenate([P00, P0t[:, None, :]], axis=2),
-            jnp.concatenate([P0t[:, :, None], Ptt], axis=2)], axis=1)
-        eyed = jnp.eye(dim, dtype=dtype)[None]
-        Pi = jnp.where(inside[:, None, None], eyed, Pi)
-        Pi = jnp.where(polar[:, None, None], 0.0, Pi)
-        B = jnp.concatenate([jnp.ones((len(items), 1), dtype=dtype), b_k],
-                            axis=1)
-        C = jnp.concatenate([jnp.ones((len(items), 1), dtype=dtype), c_k],
-                            axis=1)
-        W = Dn[:, None, None] * (B[:, :, None] * Pi * C[:, None, :])
-        W = 0.5 * (W + jnp.swapaxes(W, 1, 2))
+        ddT = dirs[:, :, None] * dirs[:, None, :]
+        W_nt = A[:, None] * sigma * dirs                     # (C, dim-1)
+        W_tt = (sigma[:, :, None] * sigma[:, None, :]
+                * ((fn_mid * D_bar / T_hat)[:, None, None] * (eye - ddT)
+                   + A[:, None, None] * ddT))
+        W = jnp.concatenate([
+            jnp.concatenate([A[:, None, None], W_nt[:, None, :]], axis=2),
+            jnp.concatenate([W_nt[:, :, None], W_tt], axis=2)], axis=1)
+        # bottom zone: full quadratic D; top zone: zero
+        Wfull = jnp.zeros((len(items), dim, dim), dtype=dtype)
+        di = np.arange(dim)
+        Wfull = Wfull.at[:, di, di].set(Dvec)
+        W = jnp.where(inside[:, None, None], Wfull, W)
+        W = jnp.where(polar[:, None, None], 0.0, W)
         W = jnp.where(cact[:, None, None], W, 0.0)
         con_groups.append((idx, W))
 

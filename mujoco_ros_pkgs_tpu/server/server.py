@@ -243,6 +243,133 @@ class MujocoServer:
             self._publish_clock()
         return StepResult(success=True)
 
+    # -- Step ACTION (async, with feedback + preemption; callbacks.cpp:94-129)
+
+    def step_action(self, goal: StepGoal, feedback_cb=None, done_cb=None):
+        """Non-blocking step action. Feedback reports steps_left per chunk;
+        preempt with `preempt_step_action`. Rejected while unpaused-running."""
+        from mujoco_ros_pkgs_tpu.msgs import StepFeedback
+        if not self.paused and self._physics_thread is not None:
+            if done_cb:
+                done_cb(StepResult(success=False))
+            return False
+        if goal.num_steps <= 0:
+            if done_cb:
+                done_cb(StepResult(success=False))
+            return False
+        self._step_preempt = False
+
+        def work():
+            left = goal.num_steps
+            ok = True
+            while left > 0:
+                if self._step_preempt or self._exit_request:
+                    ok = False
+                    break
+                chunk = min(left, 16)
+                with self._lock:
+                    run = self._get_step_fn(chunk)
+                    self.d, self.pstates = run(self.m, self.d, self.pstates)
+                    jax.block_until_ready(self.d.qpos)
+                left -= chunk
+                self._publish_clock()
+                if feedback_cb:
+                    feedback_cb(StepFeedback(steps_left=left))
+            if done_cb:
+                done_cb(StepResult(success=ok))
+
+        t = threading.Thread(target=work, daemon=True)
+        self._step_thread = t
+        t.start()
+        return True
+
+    def preempt_step_action(self):
+        self._step_preempt = True
+        t = getattr(self, "_step_thread", None)
+        if t is not None:
+            t.join(timeout=30)
+
+    # -- SetFloat / generic param store (mujoco_ros_msgs/SetFloat) ----------
+
+    def set_float(self, name: str, value: float,
+                  admin_hash: str = "") -> ServiceResult:
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        if not hasattr(self, "_float_params"):
+            self._float_params = {}
+        self._float_params[name] = float(value)
+        return ServiceResult(True, "")
+
+    def get_float(self, name: str):
+        return getattr(self, "_float_params", {}).get(name)
+
+    # -- keyframes (viewer load_key/save_key, viewer.cpp:1671-1690) --------
+
+    def load_keyframe(self, key, admin_hash: str = "") -> ServiceResult:
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        m = self.m
+        if isinstance(key, str):
+            try:
+                key = m.key_names.index(key)
+            except ValueError:
+                return ServiceResult(False, f"keyframe '{key}' not found")
+        if not (0 <= key < m.nkey):
+            return ServiceResult(False, f"keyframe index {key} out of range")
+        with self._lock:
+            def bcast(x):
+                return jnp.broadcast_to(jnp.asarray(x, dtype=self.d.qpos.dtype),
+                                        (self.nenv,) + np.asarray(x).shape)
+            updates = dict(qpos=bcast(m.key_qpos[key]),
+                           qvel=bcast(m.key_qvel[key]),
+                           time=jnp.broadcast_to(
+                               jnp.asarray(m.key_time[key],
+                                           dtype=self.d.qpos.dtype),
+                               (self.nenv,)))
+            if m.na:
+                updates["act"] = bcast(m.key_act[key])
+            if m.nu:
+                updates["ctrl"] = bcast(m.key_ctrl[key])
+            if m.nmocap:
+                updates["mocap_pos"] = bcast(
+                    np.asarray(m.key_mpos[key]).reshape(m.nmocap, 3))
+                updates["mocap_quat"] = bcast(
+                    np.asarray(m.key_mquat[key]).reshape(m.nmocap, 4))
+            self.d = self.d.replace(**updates)
+        return ServiceResult(True, "")
+
+    def save_keyframe(self, key: int, env_id: int = 0,
+                      admin_hash: str = "") -> ServiceResult:
+        """Store env state into model keyframe slot (viewer save_key)."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        m = self.m
+        if not (0 <= key < m.nkey):
+            return ServiceResult(False, f"keyframe index {key} out of range")
+        with self._lock:
+            def setrow(arr, val):
+                a = np.array(arr)
+                a[key] = np.asarray(val)
+                return jnp.asarray(a)
+            updates = dict(
+                key_qpos=setrow(m.key_qpos, self.d.qpos[env_id]),
+                key_qvel=setrow(m.key_qvel, self.d.qvel[env_id]),
+                key_time=setrow(m.key_time, self.d.time[env_id]))
+            if m.na:
+                updates["key_act"] = setrow(m.key_act, self.d.act[env_id])
+            if m.nu:
+                updates["key_ctrl"] = setrow(m.key_ctrl, self.d.ctrl[env_id])
+            if m.nmocap:
+                updates["key_mpos"] = setrow(
+                    m.key_mpos, np.asarray(self.d.mocap_pos[env_id]).ravel())
+                updates["key_mquat"] = setrow(
+                    m.key_mquat, np.asarray(self.d.mocap_quat[env_id]).ravel())
+            self.m = m.replace(**updates)
+        return ServiceResult(True, "")
+
     def _publish_clock(self):
         t = float(np.asarray(self.d.time[0]))
         for cb in self._clock_subs:
