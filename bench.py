@@ -24,9 +24,11 @@ def main():
     from mujoco_ros_pkgs_tpu.models import worlds
     from mujoco_ros_pkgs_tpu.ops import forward as fwd
 
-    NENV = 4096
-    NSUB = 50          # steps per device call
-    ROUNDS = 10
+    import os
+    NENV = int(os.environ.get("BENCH_NENV", 4096))
+    NSUB = int(os.environ.get("BENCH_NSUB", 50))   # steps per device call
+    ROUNDS = int(os.environ.get("BENCH_ROUNDS", 10))
+    ITERS = int(os.environ.get("BENCH_ITERS", 8))
 
     # ALL setup on CPU (remote TPU backends pay one RPC per eager op);
     # the batched state ships to the accelerator in one device_put.
@@ -47,7 +49,7 @@ def main():
 
     # solver work is the hot cost; these caps converge tightly (warmstarted
     # Newton needs 2-4 iters on this scene) while keeping the graph lean
-    m = m.replace(opt=m.opt.replace(iterations=8, ls_iterations=8))
+    m = m.replace(opt=m.opt.replace(iterations=ITERS, ls_iterations=8))
 
     m = jax.device_put(m, accel)
     d = jax.device_put(d, accel)

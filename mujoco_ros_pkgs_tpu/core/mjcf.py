@@ -477,8 +477,12 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
     bodies.append(world)
 
     def parse_joint(e, bclass, bodyid):
-        e = _apply_defaults(e, defaults_tree.get(bclass, defaults_tree["main"]),
-                            "joint")
+        if e.tag != "freejoint":
+            # <freejoint> accepts only name/group — joint defaults do NOT
+            # apply to it (libmujoco semantics)
+            e = _apply_defaults(e, defaults_tree.get(bclass,
+                                                     defaults_tree["main"]),
+                                "joint")
         j = _Joint()
         j.name = _attr_s(e, "name")
         if e.tag == "freejoint":

@@ -159,6 +159,49 @@ def euler(m: Model, d: Data) -> Data:
     return _advance(m, d, qacc, d.act_dot)
 
 
+def implicitfast(m: Model, d: Data) -> Data:
+    """mj_implicit (fast variant): solve (M - h*dqfrc/dqvel) qacc = qfrc with
+    the velocity-derivative of passive + actuation forces (joint/tendon
+    damping, affine actuator velocity gains). The Coriolis derivative of full
+    implicit is omitted (libmujoco's implicitfast does the same)."""
+    from mujoco_ros_pkgs_tpu.core.types import BiasType, DynType, GainType
+
+    h = m.opt.timestep.astype(d.qpos.dtype)
+    dtype = d.qpos.dtype
+    qD = -jnp.diag(m.dof_damping)                      # d qfrc_passive / d qvel
+    for t in range(m.ntendon):
+        qD = qD - m.tendon_damping[t] * jnp.outer(d.ten_J[t], d.ten_J[t])
+    if m.nu:
+        # d force_i / d vel_i = dgain/dvel * input + dbias/dvel
+        ctrl = d.ctrl
+        if not (m.opt.disableflags & DisableBit.CLAMPCTRL):
+            limited = jnp.asarray(np.array(m.actuator_ctrllimited, dtype=bool))
+            ctrl = jnp.where(limited,
+                             jnp.clip(ctrl, m.actuator_ctrlrange[:, 0],
+                                      m.actuator_ctrlrange[:, 1]), ctrl)
+        inputs = []
+        for i in range(m.nu):
+            if m.actuator_dyntype[i] == int(DynType.NONE):
+                inputs.append(ctrl[i])
+            else:
+                inputs.append(d.act[m.actuator_actadr[i]])
+        inp = jnp.stack(inputs)
+        gaintype = np.array(m.actuator_gaintype)
+        biastype = np.array(m.actuator_biastype)
+        dgain = jnp.where(jnp.asarray(gaintype == int(GainType.AFFINE)),
+                          m.actuator_gainprm[:, 2], 0.0)
+        dbias = jnp.where(jnp.asarray(biastype == int(BiasType.AFFINE)),
+                          m.actuator_biasprm[:, 2], 0.0)
+        dfdv = dgain * inp + dbias                      # (nu,)
+        qD = qD + d.actuator_moment.T @ (dfdv[:, None] * d.actuator_moment)
+    A = d.qM - h * qD
+    A = 0.5 * (A + A.T)                                 # symmetrize
+    qfrc = d.qfrc_smooth + d.qfrc_constraint
+    qacc = jax.scipy.linalg.cho_solve(
+        (jax.scipy.linalg.cholesky(A, lower=True), True), qfrc)
+    return _advance(m, d, qacc, d.act_dot)
+
+
 _RK4_A = np.array([[0.5, 0, 0], [0, 0.5, 0], [0, 0, 1.0]])
 _RK4_B = np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6])
 
@@ -209,7 +252,10 @@ def step(m: Model, d: Data, control_hook: Hook = None,
     d, hstate = out if stateful else (out, hstate)
     if m.opt.integrator == int(IntegratorType.RK4):
         return rk4(m, d, control_hook, passive_hook, hstate)
-    # EULER / IMPLICIT (implicit falls back to Euler-with-implicit-damping)
     d = d.replace(qacc_warmstart=d.qacc)
-    d = euler(m, d)
+    if m.opt.integrator in (int(IntegratorType.IMPLICIT),
+                            int(IntegratorType.IMPLICITFAST)):
+        d = implicitfast(m, d)
+    else:
+        d = euler(m, d)
     return (d, hstate) if stateful else d

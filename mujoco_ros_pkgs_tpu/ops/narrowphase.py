@@ -236,6 +236,103 @@ def _capsule_box(m, d, g1, g2):
     return jnp.stack(dists), jnp.stack(poss), jnp.stack(frames)
 
 
+def _plane_cylinder(m, d, g1, g2):
+    """Up to 4 contacts: tilted → deepest rim point + antipode on both caps;
+    upright → 120-degree tripod on the contacting cap (stable support)."""
+    dtype = d.qpos.dtype
+    n = d.geom_xmat[g1][:, 2]
+    p0 = d.geom_xpos[g1]
+    c = d.geom_xpos[g2]
+    a = d.geom_xmat[g2][:, 2]
+    r, hl = m.geom_size[g2, 0], m.geom_size[g2, 1]
+
+    an = jnp.dot(a, n)
+    # rim descent direction: component of -n orthogonal to axis
+    perp = -(n - an * a)
+    pnorm = mmath.norm_safe(perp)
+    degenerate = pnorm < 1e-8
+    rim = jnp.where(degenerate, d.geom_xmat[g2][:, 0], perp / pnorm)
+    # choose the lower cap (toward the plane)
+    lower = jnp.where(an > 0, -1.0, 1.0)
+    frame = _make_frame(n)
+
+    def cap_pts(sgn_cap):
+        center = c + sgn_cap * hl * a
+        return [center + r * rim, center - r * rim]
+
+    tilt_pts = jnp.stack(cap_pts(lower) + cap_pts(-lower))   # (4,3)
+    # tripod on the lower cap (degenerate / upright case)
+    t1 = d.geom_xmat[g2][:, 0]
+    t2 = d.geom_xmat[g2][:, 1]
+    center = c + lower * hl * a
+    tri = jnp.stack([
+        center + r * t1,
+        center + r * (-0.5 * t1 + 0.8660254037844386 * t2),
+        center + r * (-0.5 * t1 - 0.8660254037844386 * t2),
+        center,  # masked below
+    ])
+    pts = jnp.where(degenerate, tri, tilt_pts)
+    dists = pts @ n - jnp.dot(n, p0)
+    big = jnp.full((), 1e10, dtype=dtype)
+    dists = dists.at[3].set(jnp.where(degenerate, big, dists[3]))
+    pos = pts - 0.5 * dists[:, None] * n
+    return dists, pos, jnp.tile(frame[None], (4, 1, 1))
+
+
+def _plane_ellipsoid(m, d, g1, g2):
+    """Support point of the ellipsoid along -n (single contact)."""
+    n = d.geom_xmat[g1][:, 2]
+    p0 = d.geom_xpos[g1]
+    c = d.geom_xpos[g2]
+    R = d.geom_xmat[g2]
+    s = m.geom_size[g2]
+    nl = R.T @ n
+    sn = s * nl
+    denom = mmath.norm_safe(sn)
+    support_local = -(s * sn) / denom
+    p = c + R @ support_local
+    dist = jnp.dot(n, p - p0)
+    pos = p - 0.5 * dist * n
+    return dist[None], pos[None], _make_frame(n)[None]
+
+
+def _sphere_cylinder(m, d, g1, g2):
+    """Sphere vs cylinder: closest point on the (solid) cylinder surface."""
+    dtype = d.qpos.dtype
+    cs = d.geom_xpos[g1]
+    rs = m.geom_size[g1, 0]
+    cc = d.geom_xpos[g2]
+    Rc = d.geom_xmat[g2]
+    r, hl = m.geom_size[g2, 0], m.geom_size[g2, 1]
+    local = Rc.T @ (cs - cc)
+    rad = jnp.sqrt(jnp.maximum(local[0] ** 2 + local[1] ** 2,
+                               mmath.MINVAL ** 2))
+    raddir = jnp.stack([local[0] / rad, local[1] / rad,
+                        jnp.zeros((), dtype=dtype)])
+    clamped_z = jnp.clip(local[2], -hl, hl)
+    clamped_r = jnp.minimum(rad, r)
+    inside = (rad < r) & (jnp.abs(local[2]) < hl)
+    # outside: closest surface point by clamping
+    side = raddir * r + jnp.array([0.0, 0, 1], dtype=dtype) * clamped_z
+    cap = raddir * clamped_r + jnp.array([0.0, 0, 1], dtype=dtype) \
+        * jnp.sign(local[2]) * hl
+    use_side = rad > r
+    closest_local = jnp.where(inside,
+                              jnp.where(r - rad < hl - jnp.abs(local[2]),
+                                        side, cap),
+                              jnp.where(use_side & (jnp.abs(local[2]) < hl),
+                                        side,
+                                        jnp.where(jnp.abs(local[2]) >= hl,
+                                                  cap, side)))
+    closest = cc + Rc @ closest_local
+    dvec = closest - cs
+    nrm = mmath.norm_safe(dvec)
+    n_out = jnp.where(inside, -mmath.normalize(dvec), mmath.normalize(dvec))
+    dist = jnp.where(inside, -(nrm + rs), nrm - rs)
+    pos = closest - 0.5 * dist * n_out
+    return dist[None], pos[None], _make_frame(n_out)[None]
+
+
 def _box_box(m, d, g1, g2):
     """Box-box via SAT (6 face + 9 edge axes) with incident-face vertex clamp.
 
@@ -366,9 +463,12 @@ def _box_box(m, d, g1, g2):
 _DISPATCH = {
     (GeomType.PLANE, GeomType.SPHERE): (_plane_sphere, 1),
     (GeomType.PLANE, GeomType.CAPSULE): (_plane_capsule, 2),
+    (GeomType.PLANE, GeomType.ELLIPSOID): (_plane_ellipsoid, 1),
+    (GeomType.PLANE, GeomType.CYLINDER): (_plane_cylinder, 4),
     (GeomType.PLANE, GeomType.BOX): (_plane_box, 4),
     (GeomType.SPHERE, GeomType.SPHERE): (_sphere_sphere, 1),
     (GeomType.SPHERE, GeomType.CAPSULE): (_sphere_capsule, 1),
+    (GeomType.SPHERE, GeomType.CYLINDER): (_sphere_cylinder, 1),
     (GeomType.SPHERE, GeomType.BOX): (_sphere_box, 1),
     (GeomType.CAPSULE, GeomType.CAPSULE): (_capsule_capsule, 1),
     (GeomType.CAPSULE, GeomType.BOX): (_capsule_box, 2),

@@ -328,6 +328,17 @@ def tendon(m: Model, d: Data) -> Data:
                      ten_velocity=ten_J @ d.qvel)
 
 
+def jac(m: Model, d: Data, point: jax.Array, body: int):
+    """mj_jac: translational/rotational jacobians (nv,3) at a world point."""
+    mask = body_dof_mask(m)[:, body]
+    maskj = jnp.asarray(mask, dtype=d.qpos.dtype)[:, None]
+    offset = point - d.subtree_com[m.body_rootid[body]]
+    jacp = (d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3],
+                                      jnp.broadcast_to(offset, (m.nv, 3)))) * maskj
+    jacr = d.cdof[:, :3] * maskj
+    return jacp, jacr
+
+
 def transmission(m: Model, d: Data) -> Data:
     if m.nu == 0:
         return d
@@ -355,8 +366,16 @@ def transmission(m: Model, d: Data) -> Data:
             t = m.actuator_trnid[i][0]
             L = d.ten_length[t] * gear[0]
             row = d.ten_J[t] * gear[0]
+        elif trn == int(TrnType.SITE):
+            # wrench gear in the SITE frame applied at the site
+            s = m.actuator_trnid[i][0]
+            jacp, jacr = jac(m, d, d.site_xpos[s], m.site_bodyid[s])
+            wf = d.site_xmat[s] @ gear[:3]
+            wt = d.site_xmat[s] @ gear[3:]
+            row = jacp @ wf + jacr @ wt
+            L = jnp.zeros((), dtype=dtype)
         else:
-            raise NotImplementedError("site transmission TBD")
+            raise NotImplementedError(f"transmission type {trn}")
         lengths.append(L)
         moments.append(row)
     moment = jnp.stack(moments)

@@ -110,12 +110,13 @@ def _forces_and_weights(m: Model, efc: Efc, jar: jax.Array):
             cost += jnp.sum(jnp.where(gate, 0.5 * Dn * jn * jn, 0.0))
             continue
         # ---- elliptic cone force (model pinned against the oracle): ----
-        # scaled force space h_k = f_k/sigma_k with sigma = max(mu0,1) for
+        # scaled force space h_k = f_k/sigma_k with sigma = mu0 (contact
+        # friction, already the elementwise max over the geom pair) for
         # translational rows and mu_k for rotational rows; cone ||h|| <= f_n;
         # force = projection of P = -D∘u in the diag(1/D) metric.
         mu = efc.con_mu[cis]                                # (C, 5)
         mu0 = jnp.maximum(mu[:, 0], mmath.MINVAL)           # (C,)
-        sig_t = jnp.maximum(mu0, 1.0)
+        sig_t = mu0
         sigs = [jnp.broadcast_to(sig_t[:, None], (len(items), min(2, dim - 1)))]
         if dim > 3:
             sigs.append(jnp.maximum(mu[:, 2: dim - 1], mmath.MINVAL))

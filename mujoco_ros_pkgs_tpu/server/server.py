@@ -213,7 +213,9 @@ class MujocoServer:
         def batch_step(m, d, ps):
             return jax.vmap(one_env, in_axes=(None, 0, 0))(m, d, ps)
 
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=(1, 2))
         def run(m, d, ps):
             def body(carry, _):
                 d, ps = carry
