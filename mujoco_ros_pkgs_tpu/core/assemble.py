@@ -53,7 +53,8 @@ def _tri(e, name, autolimits, has_range):
     return 1 if v.lower() in ("true", "1") else 0
 
 
-def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams, opt):
+def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
+              meshes=None, opt=None):
     import jax.numpy as jnp
     from mujoco_ros_pkgs_tpu.core.mjcf import _apply_defaults, _quat_mul, _quat_rot, _quat_to_mat
 
@@ -503,6 +504,18 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams, opt):
     def J(x):
         return jnp.asarray(np.asarray(x, dtype=np.float64))
 
+    # mesh hulls → one padded (nmesh, max_vert, 3) block; padding repeats the
+    # first vertex so the support argmax (ops/gjk.py) is unaffected
+    mesh_list = list(meshes.values()) if meshes else []
+    if mesh_list:
+        maxv = max(mv.verts.shape[0] for mv in mesh_list)
+        mesh_vert_padded = np.stack([
+            np.concatenate([mv.verts,
+                            np.tile(mv.verts[:1], (maxv - mv.verts.shape[0], 1))])
+            for mv in mesh_list])
+    else:
+        mesh_vert_padded = np.zeros((0, 0, 3))
+
     option = types.Option(
         timestep=J(opt["timestep"]), gravity=J(opt["gravity"]), wind=J(opt["wind"]),
         magnetic=J(opt["magnetic"]), density=J(opt["density"]),
@@ -571,6 +584,11 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams, opt):
         geom_solimp=J(np.stack([g.solimp for g in geoms]) if ngeom else np.zeros((0, 5))),
         geom_margin=J(np.array([g.margin for g in geoms])),
         geom_gap=J(np.array([g.gap for g in geoms])),
+        geom_dataid=tuple(getattr(g, "meshid", -1) for g in geoms),
+        nmesh=len(mesh_list),
+        mesh_vertnum=tuple(mv.verts.shape[0] for mv in mesh_list),
+        mesh_names=tuple(mv.name for mv in mesh_list),
+        mesh_vert=J(mesh_vert_padded),
         site_bodyid=tuple(s.bodyid for s in sites),
         site_pos=J(np.stack([s.pos for s in sites]) if nsite else np.zeros((0, 3))),
         site_quat=J(np.stack([s.quat for s in sites]) if nsite else np.zeros((0, 4))),

@@ -98,7 +98,9 @@ class _Compiler:
         self.boundinertia = 0.0
         self.balanceinertia = False
         self.settotalmass = -1.0
+        self.meshdir = ""
         if e is not None:
+            self.meshdir = _attr_s(e, "meshdir", "")
             self.angle = _attr_s(e, "angle", self.angle)
             self.eulerseq = _attr_s(e, "eulerseq", self.eulerseq)
             self.autolimits = _attr_b(e, "autolimits", self.autolimits)
@@ -355,6 +357,132 @@ def _geom_rbound(gtype: int, size: np.ndarray) -> float:
 
 
 # ---------------------------------------------------------------------------
+# mesh assets (convex hulls) — mjCMesh::Compile analogue
+# ---------------------------------------------------------------------------
+
+
+class _Mesh:
+    """Processed mesh asset: convex hull in the principal-inertia frame.
+
+    Mirrors libmujoco's mesh pipeline: center at the hull CoM, rotate into
+    the principal axes, and fold the (com, quat) transform into every geom
+    that references the mesh. Collision uses ONLY the hull vertices (support
+    function in ops/gjk.py), matching mjc_Convex semantics."""
+
+    __slots__ = ("name", "verts", "com", "quat", "volume", "inertia_unit",
+                 "rbound", "aabb_half")
+
+    def __init__(self, name: str, raw_verts: np.ndarray):
+        from scipy.spatial import ConvexHull, QhullError
+        if raw_verts.shape[0] < 4:
+            raise ValueError(f"mesh '{name}': need >=4 vertices")
+        try:
+            hull = ConvexHull(raw_verts)
+        except QhullError as e:
+            raise ValueError(
+                f"mesh '{name}': degenerate vertex set (convex hull failed: "
+                f"{str(e).splitlines()[0]})") from e
+        pts = hull.points
+        # orient each simplex outward using qhull's facet normals
+        tris = []
+        for simplex, eq in zip(hull.simplices, hull.equations):
+            a, b, c = pts[simplex]
+            n = np.cross(b - a, c - a)
+            tris.append(simplex if np.dot(n, eq[:3]) >= 0
+                        else simplex[[0, 2, 1]])
+        tris = np.asarray(tris)
+        vol, com, I_full = _poly_mass_properties(pts, tris)
+        if vol <= 1e-12:
+            raise ValueError(f"mesh '{name}': degenerate (volume {vol})")
+        w, vecs = np.linalg.eigh(I_full)
+        if np.linalg.det(vecs) < 0:
+            vecs[:, 2] = -vecs[:, 2]
+        hull_verts = pts[hull.vertices]
+        local = (hull_verts - com) @ vecs       # R^T (v - com)
+        self.name = name
+        self.verts = local
+        self.com = com
+        self.quat = _mat_to_quat(vecs)
+        self.volume = float(vol)
+        self.inertia_unit = np.maximum(w, 0.0)   # unit density, about CoM
+        self.rbound = float(np.max(np.linalg.norm(local, axis=1)))
+        self.aabb_half = np.max(np.abs(local), axis=0)
+
+
+def _poly_mass_properties(verts: np.ndarray, tris: np.ndarray):
+    """(volume, com, unit-density inertia about com) of a closed polyhedron
+    via signed-tetrahedron decomposition about the origin."""
+    a = verts[tris[:, 0]]
+    b = verts[tris[:, 1]]
+    c = verts[tris[:, 2]]
+    v = np.einsum("ij,ij->i", a, np.cross(b, c)) / 6.0       # signed volumes
+    vol = v.sum()
+    com = (v[:, None] * (a + b + c) / 4.0).sum(0) / vol
+    # second moment sum over tets: V/20 (aa'+bb'+cc' + ss') with s = a+b+c
+    s = a + b + c
+    C = np.einsum("i,ij,ik->jk", v / 20.0, a, a)
+    C += np.einsum("i,ij,ik->jk", v / 20.0, b, b)
+    C += np.einsum("i,ij,ik->jk", v / 20.0, c, c)
+    C += np.einsum("i,ij,ik->jk", v / 20.0, s, s)
+    C -= vol * np.outer(com, com)
+    I_full = np.trace(C) * np.eye(3) - C
+    return vol, com, I_full
+
+
+def _load_mesh_vertices(path: str) -> np.ndarray:
+    """Vertex soup from STL (binary/ascii), OBJ, or MuJoCo legacy MSH."""
+    ext = os.path.splitext(path)[1].lower()
+    with open(path, "rb") as f:
+        data = f.read()
+    if ext == ".obj":
+        verts = []
+        for line in data.decode("utf-8", errors="replace").splitlines():
+            t = line.split()
+            if len(t) >= 4 and t[0] == "v":
+                verts.append([float(t[1]), float(t[2]), float(t[3])])
+        return np.asarray(verts)
+    if ext == ".msh":
+        nvert = int(np.frombuffer(data[:4], dtype=np.int32)[0])
+        off = 16  # nvert, nnormal, ntexcoord, nface headers
+        return np.frombuffer(data[off:off + 12 * nvert],
+                             dtype=np.float32).reshape(nvert, 3).astype(np.float64)
+    # STL: binary iff the size matches the triangle-count header
+    if len(data) >= 84:
+        ntri = int(np.frombuffer(data[80:84], dtype=np.uint32)[0])
+        if len(data) == 84 + 50 * ntri:
+            raw = np.frombuffer(data[84:], dtype=np.uint8).reshape(ntri, 50)
+            tris = raw[:, 12:48].copy().view(np.float32).reshape(ntri, 9)
+            return tris.reshape(-1, 3).astype(np.float64)
+    verts = []
+    for line in data.decode("utf-8", errors="replace").splitlines():
+        t = line.split()
+        if len(t) == 4 and t[0] == "vertex":
+            verts.append([float(t[1]), float(t[2]), float(t[3])])
+    return np.asarray(verts)
+
+
+def _parse_assets(root: ET.Element, base_dir: str, comp: "_Compiler"
+                  ) -> Dict[str, _Mesh]:
+    meshes: Dict[str, _Mesh] = {}
+    asset = root.find("asset")
+    if asset is None:
+        return meshes
+    for e in asset.iter("mesh"):
+        file = _attr_s(e, "file")
+        name = _attr_s(e, "name") or os.path.splitext(os.path.basename(file))[0]
+        scale = _attr_f(e, "scale", [1.0, 1.0, 1.0], n=3)
+        if e.get("vertex") is not None:
+            raw = _floats(e.get("vertex")).reshape(-1, 3)
+        elif file:
+            path = os.path.join(base_dir, comp.meshdir, file)
+            raw = _load_mesh_vertices(path)
+        else:
+            raise ValueError(f"mesh '{name}': neither file nor vertex data")
+        meshes[name] = _Mesh(name, raw * np.asarray(scale))
+    return meshes
+
+
+# ---------------------------------------------------------------------------
 # intermediate spec objects
 # ---------------------------------------------------------------------------
 
@@ -416,6 +544,7 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
 
     comp = _Compiler(root.find("compiler"))
     defaults_tree = _collect_defaults(root)
+    meshes = _parse_assets(root, base_dir, comp)
 
     # ---------------- option ----------------
     oe = root.find("option")
@@ -555,14 +684,41 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
             d = b - a
             g.quat = _z2quat(d)
             g.size[1] = np.linalg.norm(d) / 2.0
+        # mesh reference: fold the asset's (com, principal quat) into the geom
+        # frame, exactly as mjCMesh::Compile re-centers meshes in libmujoco
+        g.meshid = -1
+        g.inertia_diag = None
+        mesh_name = _attr_s(e, "mesh")
+        if mesh_name:
+            if g.type != GeomType.MESH:
+                raise ValueError(
+                    f"geom '{g.name}': mesh-fitting (mesh attr with "
+                    f"type != mesh) is not supported")
+            if mesh_name not in meshes:
+                raise ValueError(f"geom '{g.name}': undefined mesh "
+                                 f"'{mesh_name}' (no such <asset> mesh)")
+            mesh = meshes[mesh_name]
+            g.meshid = list(meshes).index(mesh_name)
+            g.pos = np.asarray(g.pos, dtype=np.float64) + _quat_rot(mesh.com, g.quat)
+            g.quat = _quat_mul(g.quat, mesh.quat)
+            g.size = mesh.aabb_half.copy()
+        elif g.type == GeomType.MESH:
+            raise ValueError(f"geom '{g.name}': type mesh without mesh attr")
         # mass/density
         density = float(_attr_s(e, "density", "1000"))
-        vol = _geom_volume(g.type, g.size)
+        if mesh_name:
+            vol = mesh.volume
+        else:
+            vol = _geom_volume(g.type, g.size)
         if e.get("mass") is not None:
             g.mass = float(e.get("mass"))
         else:
             g.mass = density * vol
-        g.rbound = _geom_rbound(g.type, g.size)
+        if mesh_name:
+            g.inertia_diag = mesh.inertia_unit * (g.mass / mesh.volume)
+            g.rbound = mesh.rbound
+        else:
+            g.rbound = _geom_rbound(g.type, g.size)
         geoms.append(g)
         return len(geoms) - 1
 
@@ -661,7 +817,8 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
             for gi in b.geoms:
                 g = geoms[gi]
                 R = _quat_to_mat(g.quat)
-                I_g = np.diag(_geom_inertia_diag(g.type, g.size, g.mass))
+                I_g = np.diag(g.inertia_diag if g.inertia_diag is not None
+                              else _geom_inertia_diag(g.type, g.size, g.mass))
                 d = g.pos - com
                 full += (R @ I_g @ R.T
                          + g.mass * (np.dot(d, d) * np.eye(3) - np.outer(d, d)))
@@ -680,7 +837,8 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
 
     from mujoco_ros_pkgs_tpu.core.assemble import _assemble
     n_out = _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
-                      dict(timestep=timestep, gravity=gravity, wind=wind,
+                      meshes=meshes,
+                      opt=dict(timestep=timestep, gravity=gravity, wind=wind,
                            magnetic=magnetic, density=density,
                            viscosity=viscosity, impratio=impratio,
                            o_margin=o_margin, o_solref=o_solref,

@@ -305,6 +305,13 @@ class Model:
     geom_solimp: jax.Array = None    # (ngeom, 5)
     geom_margin: jax.Array = None    # (ngeom,)
     geom_gap: jax.Array = None       # (ngeom,)
+    geom_dataid: Tuple[int, ...] = _static(default=())  # mesh id or -1
+
+    # ---- meshes (convex hulls; support fn = argmax verts @ dir, ops/gjk.py) ----
+    nmesh: int = _static(default=0)
+    mesh_vertnum: Tuple[int, ...] = _static(default=())
+    mesh_names: Tuple[str, ...] = _static(default=())
+    mesh_vert: jax.Array = None      # (nmesh, max_vert, 3) padded local hull verts
 
     # ---- sites ----
     site_bodyid: Tuple[int, ...] = _static(default=())

@@ -1,0 +1,353 @@
+"""Generic convex-convex narrowphase: fixed-iteration MPR (XenoCollide).
+
+MuJoCo 2.3.7 routes every convex pair without a dedicated analytic routine
+(ellipsoid/cylinder combinations, mesh hulls) through libccd's Minkowski
+Portal Refinement (`mjc_Convex` in engine_collision_convex.c), emitting ONE
+contact per pair. This module is the TPU-native equivalent: the same MPR
+algorithm re-expressed as straight-line JAX — fixed iteration counts,
+branchless `jnp.where` selects instead of early exits — so a whole env batch
+runs it in lockstep under `vmap`/`jit` with static shapes.
+
+Support functions are built per geom-type at trace time (types are static
+model metadata), so there is no runtime dispatch inside the compiled program.
+Mesh hulls use a dense `verts @ dir` argmax — an MXU-friendly matmul.
+
+Accuracy notes (documented deviations from libccd):
+- Penetration depth/normal come from the converged portal: exact for shallow
+  contacts, approximate (along the origin ray) for deep overlap — same
+  qualitative behavior as MPR everywhere (libccd included).
+- For separated pairs the reported positive distance is a supporting-plane
+  lower bound, not the exact gap. Pairs are only *active* when
+  `dist < includemargin` (margin defaults to 0), so this affects nothing but
+  margin-inflated models, where contacts engage marginally early.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_ros_pkgs_tpu.core.types import GeomType, Model
+from mujoco_ros_pkgs_tpu.ops import math as mmath
+
+# iteration budgets: libccd defaults to 100 with tolerance exit; shallow
+# portals converge in <10 — these are generous and keep the unrolled/looped
+# graph small. Refinement runs as lax.fori_loop (carried state is small).
+_DISCOVER_ITERS = 12
+_REFINE_ITERS = 30
+
+
+# ---------------------------------------------------------------------------
+# support functions (local direction handled internally; dir need not be unit)
+# ---------------------------------------------------------------------------
+
+def make_support(geom_type: GeomType, size, pos, mat, verts=None
+                 ) -> Callable[[jax.Array], jax.Array]:
+    """Return world-space support function s(d) = argmax_{x in geom} <x, d>.
+
+    `size/pos/mat` are traced arrays for one geom; `verts` (k,3) local hull
+    vertices for MESH. The returned callable accepts an (unnormalized) world
+    direction and returns a world point.
+    """
+    t = GeomType(geom_type)
+
+    def to_local(d):
+        return mat.T @ d
+
+    if t == GeomType.SPHERE:
+        def sup(d):
+            return pos + size[0] * mmath.normalize(d)
+    elif t == GeomType.CAPSULE:
+        def sup(d):
+            dl = to_local(d)
+            axis = mat[:, 2]
+            return (pos + size[1] * jnp.sign(dl[2]) * axis
+                    + size[0] * mmath.normalize(d))
+    elif t == GeomType.ELLIPSOID:
+        def sup(d):
+            dl = to_local(d)
+            sd = size * dl
+            denom = jnp.maximum(mmath.norm_safe(sd), mmath.MINVAL)
+            return pos + mat @ (size * sd / denom)
+    elif t == GeomType.CYLINDER:
+        def sup(d):
+            dl = to_local(d)
+            rxy = jnp.sqrt(jnp.maximum(dl[0] ** 2 + dl[1] ** 2,
+                                       mmath.MINVAL ** 2))
+            lx = size[0] * dl[0] / rxy
+            ly = size[0] * dl[1] / rxy
+            # disk center when direction is (near-)axial: libccd support of the
+            # flat cap is any rim point; picking the rim via rxy floor is fine
+            lz = jnp.sign(dl[2]) * size[1]
+            return pos + mat @ jnp.stack([lx, ly, lz])
+    elif t == GeomType.BOX:
+        def sup(d):
+            dl = to_local(d)
+            s = jnp.where(dl >= 0, size, -size)
+            return pos + mat @ s
+    elif t == GeomType.MESH:
+        if verts is None:
+            raise ValueError("MESH support needs hull vertices")
+        def sup(d):
+            dl = to_local(d)
+            idx = jnp.argmax(verts @ dl)
+            return pos + mat @ verts[idx]
+    else:
+        raise NotImplementedError(f"no support function for {t}")
+    return sup
+
+
+# ---------------------------------------------------------------------------
+# MPR core
+# ---------------------------------------------------------------------------
+
+def _mdiff(sup1, sup2):
+    """Minkowski-difference (geom2 - geom1) support with witness points."""
+    def S(d):
+        a = sup1(-d)
+        b = sup2(d)
+        return b - a, a, b
+    return S
+
+
+def mpr(sup1, sup2, c1, c2, dtype):
+    """Run MPR on two convex shapes with centers c1/c2.
+
+    Returns (dist, pos, normal): dist < 0 inside (penetration −depth),
+    dist > 0 a separation lower bound; pos the contact midpoint; normal
+    from geom1 into geom2 (world). All branchless / fixed shape.
+    """
+    S = _mdiff(sup1, sup2)
+    eps = jnp.asarray(1e-12, dtype)
+
+    v0 = (c2 - c1).astype(dtype)
+    v0 = jnp.where(mmath.norm_safe(v0) < 1e-9,
+                   jnp.array([1e-5, 0.0, 0.0], dtype=dtype), v0)
+    # nudge the interior point off any symmetry axis: if the origin ray passes
+    # exactly through a portal vertex (axis-aligned resting contact — the
+    # common case!), the vertex-replacement tests degenerate and refinement
+    # stalls. A deterministic skew perturbation breaks every such tie at a
+    # cost of ~1e-6 relative depth error.
+    v0 = v0 * (1.0 + jnp.array([1.1e-6, -2.3e-6, 3.1e-6], dtype=dtype)) \
+        + jnp.array([2.9e-7, 1.3e-7, -1.9e-7], dtype=dtype) * mmath.norm_safe(v0)
+
+    # --- portal discovery seeds ---
+    n1 = -v0
+    v1, a1, b1 = S(n1)
+    sep1 = jnp.dot(v1, mmath.normalize(n1))        # >0 means origin inside v1's halfspace
+    miss = sep1 < 0.0
+    gap = -sep1                                     # separation lower bound
+
+    n2 = jnp.cross(v1, v0)
+    seg_degenerate = mmath.norm_safe(n2) < 1e-10    # origin on v0-v1 line
+    n2 = jnp.where(seg_degenerate,
+                   _any_orthogonal(v1 - v0), n2)
+    v2, a2, b2 = S(n2)
+    sep2 = jnp.dot(v2, mmath.normalize(n2))
+    miss = miss | (sep2 < 0.0)
+    gap = jnp.maximum(gap, -sep2)
+
+    n3 = jnp.cross(v1 - v0, v2 - v0)
+    flip = jnp.dot(n3, v0) > 0.0
+    # swap v1/v2 so the portal normal points away from v0
+    v1s = jnp.where(flip, v2, v1); a1s = jnp.where(flip, a2, a1); b1s = jnp.where(flip, b2, b1)
+    v2s = jnp.where(flip, v1, v2); a2s = jnp.where(flip, a1, a2); b2s = jnp.where(flip, b1, b2)
+    v1, a1, b1, v2, a2, b2 = v1s, a1s, b1s, v2s, a2s, b2s
+    n3 = jnp.where(flip, -n3, n3)
+    n3 = jnp.where(mmath.norm_safe(n3) < eps, n1, n3)
+    v3, a3, b3 = S(n3)
+    sep3 = jnp.dot(v3, mmath.normalize(n3))
+    miss = miss | (sep3 < 0.0)
+    gap = jnp.maximum(gap, -sep3)
+
+    # --- discovery: rotate candidate portal until the origin ray pierces it ---
+    def disc_body(_, st):
+        v1, a1, b1, v2, a2, b2, v3, a3, b3, miss, gap, done = st
+        out13 = jnp.dot(jnp.cross(v1, v3), v0) < 0.0   # ray outside plane v0-v1-v3
+        out32 = jnp.dot(jnp.cross(v3, v2), v0) < 0.0   # ray outside plane v0-v3-v2
+        need = (~done) & (out13 | out32)
+        # replace v2 (if out13) else v1 (if out32)
+        nv2 = jnp.where(out13, v3, v2); na2 = jnp.where(out13, a3, a2); nb2 = jnp.where(out13, b3, b2)
+        nv1 = jnp.where(out13, v1, v3); na1 = jnp.where(out13, a1, a3); nb1 = jnp.where(out13, b1, b3)
+        v1 = jnp.where(need, nv1, v1); a1 = jnp.where(need, na1, a1); b1 = jnp.where(need, nb1, b1)
+        v2 = jnp.where(need, nv2, v2); a2 = jnp.where(need, na2, a2); b2 = jnp.where(need, nb2, b2)
+        n = jnp.cross(v1 - v0, v2 - v0)
+        n = jnp.where(mmath.norm_safe(n) < eps, v1 - v0, n)
+        nv3, na3, nb3 = S(n)
+        sep = jnp.dot(nv3, mmath.normalize(n))
+        miss = miss | (need & (sep < 0.0))
+        gap = jnp.where(need, jnp.maximum(gap, -sep), gap)
+        v3 = jnp.where(need, nv3, v3); a3 = jnp.where(need, na3, a3); b3 = jnp.where(need, nb3, b3)
+        done = done | ~need
+        return (v1, a1, b1, v2, a2, b2, v3, a3, b3, miss, gap, done)
+
+    st = (v1, a1, b1, v2, a2, b2, v3, a3, b3, miss, gap,
+          jnp.asarray(False))
+    st = jax.lax.fori_loop(0, _DISCOVER_ITERS, disc_body, st)
+    v1, a1, b1, v2, a2, b2, v3, a3, b3, miss, gap, _ = st
+
+    # --- refinement: push the portal to the Minkowski surface ---
+    def ref_body(_, st):
+        v1, a1, b1, v2, a2, b2, v3, a3, b3, conv = st
+        n = jnp.cross(v2 - v1, v3 - v1)
+        nn = mmath.norm_safe(n)
+        n = jnp.where(nn < eps, v1, n / jnp.maximum(nn, eps))
+        # keep outward orientation (away from interior point)
+        n = jnp.where(jnp.dot(n, v1 - v0) < 0.0, -n, n)
+        v4, a4, b4 = S(n)
+        dconv = jnp.dot(v4 - v1, n) < 1e-7
+        conv_new = conv | dconv
+        # vertex replacement: which sub-portal contains the origin ray
+        c41 = jnp.dot(jnp.cross(v4, v1), v0) < 0.0
+        c42 = jnp.dot(jnp.cross(v4, v2), v0) < 0.0
+        c43 = jnp.dot(jnp.cross(v4, v3), v0) < 0.0
+        rep1 = c41 & c42          # inside (v0,v4,v1)x ... replace v1
+        rep3 = c41 & ~c42         # replace v3
+        rep2 = ~c41 & c43         # replace v2
+        rep1b = ~c41 & ~c43       # replace v1
+        do = ~conv_new
+        def pick(repl, cur_v, cur_a, cur_b):
+            u = do & repl
+            return (jnp.where(u, v4, cur_v), jnp.where(u, a4, cur_a),
+                    jnp.where(u, b4, cur_b))
+        v1, a1, b1 = pick(rep1 | rep1b, v1, a1, b1)
+        v3, a3, b3 = pick(rep3, v3, a3, b3)
+        v2, a2, b2 = pick(rep2, v2, a2, b2)
+        return (v1, a1, b1, v2, a2, b2, v3, a3, b3, conv_new)
+
+    st = (v1, a1, b1, v2, a2, b2, v3, a3, b3, jnp.asarray(False))
+    st = jax.lax.fori_loop(0, _REFINE_ITERS, ref_body, st)
+    v1, a1, b1, v2, a2, b2, v3, a3, b3, _ = st
+
+    # --- extract contact ---
+    n = jnp.cross(v2 - v1, v3 - v1)
+    nn = mmath.norm_safe(n)
+    n = jnp.where(nn < eps, mmath.normalize(-v0), n / jnp.maximum(nn, eps))
+    n = jnp.where(jnp.dot(n, v1 - v0) < 0.0, -n, n)
+
+    depth = jnp.dot(v1, n)          # distance origin -> portal plane (>=0 hit)
+    hit = (~miss) & (depth >= 0.0)
+
+    # project origin onto portal plane (q = depth*n), barycentric in (v1,v2,v3)
+    lam = _barycentric(depth * n, v1, v2, v3, n, dtype)
+    pa = lam[0] * a1 + lam[1] * a2 + lam[2] * a3
+    pb = lam[0] * b1 + lam[1] * b2 + lam[2] * b3
+    pos_hit = 0.5 * (pa + pb)
+
+    # separated: the converged portal plane sits |depth| beyond the origin —
+    # that, and any supporting-plane witness seen on the way, lower-bound the gap
+    pos_miss = 0.5 * (a1 + b1)
+    sep_est = jnp.maximum(gap, -depth)
+
+    dist = jnp.where(hit, -depth, jnp.maximum(sep_est, 1e-10))
+    pos = jnp.where(hit, pos_hit, pos_miss)
+    # portal normal points from the interior point v0 = c2-c1 toward the
+    # near surface, i.e. from geom2 toward geom1 in world space; MuJoCo's
+    # contact normal convention is geom1 → geom2, so flip
+    return dist, pos, -n
+
+
+def _any_orthogonal(v):
+    """A vector orthogonal to v (for degenerate seeds)."""
+    idx = jnp.argmin(jnp.abs(v))
+    a = jnp.zeros(3, dtype=v.dtype).at[idx].set(1.0)
+    return jnp.cross(v, a)
+
+
+def _barycentric(p, v1, v2, v3, n, dtype):
+    """Barycentric coords of p (projected along n) in triangle v1v2v3."""
+    d1, d2, d3 = v1 - p, v2 - p, v3 - p
+    w1 = jnp.dot(jnp.cross(d2, d3), n)
+    w2 = jnp.dot(jnp.cross(d3, d1), n)
+    w3 = jnp.dot(jnp.cross(d1, d2), n)
+    w = jnp.stack([w1, w2, w3])
+    tot = jnp.sum(w)
+    ok = jnp.abs(tot) > 1e-12
+    lam = jnp.where(ok, w / jnp.where(ok, tot, 1.0),
+                    jnp.full(3, 1.0 / 3.0, dtype=dtype))
+    # clamp + renormalize (portal may be a sliver)
+    lam = jnp.clip(lam, 0.0, 1.0)
+    lam = lam / jnp.maximum(jnp.sum(lam), 1e-12)
+    return lam
+
+
+# ---------------------------------------------------------------------------
+# narrowphase entry (registered in narrowphase._DISPATCH for generic pairs)
+# ---------------------------------------------------------------------------
+
+def _geom_center(m: Model, d, g: int):
+    """Interior point: geom frame origin works for all supported primitives."""
+    return d.geom_xpos[g]
+
+
+def _hull_verts(m: Model, g: int):
+    did = m.geom_dataid[g]
+    if did < 0:
+        return None
+    return m.mesh_vert[did, : m.mesh_vertnum[did]]
+
+
+def convex_pair(m: Model, d, g1: int, g2: int):
+    """Convex narrowphase with up to 4 contacts (signature matches
+    narrowphase fns: (dist[4], pos[4,3], frame[4,3,3])).
+
+    MPR finds the contact normal and deepest point; a perturbed-support sweep
+    around the normal then samples the contact PATCH: four directions tilted
+    off n pick up the face-polygon extremes when the contact is flat-on-flat
+    (cylinder cap on box, box on mesh) and collapse to (near-)duplicates —
+    deduped by position below — when it is a point contact. This mirrors what
+    modern MuJoCo's multiCCD does after EPA; 2.3.7's libccd emitted a single
+    contact and could not rest flat convex shapes stably."""
+    from mujoco_ros_pkgs_tpu.ops.narrowphase import _make_frame  # cycle-free
+    dtype = d.qpos.dtype
+    sup1 = make_support(m.geom_type[g1], m.geom_size[g1], d.geom_xpos[g1],
+                        d.geom_xmat[g1], _hull_verts(m, g1))
+    sup2 = make_support(m.geom_type[g2], m.geom_size[g2], d.geom_xpos[g2],
+                        d.geom_xmat[g2], _hull_verts(m, g2))
+    dist0, pos0, n = mpr(sup1, sup2, _geom_center(m, d, g1),
+                         _geom_center(m, d, g2), dtype)
+    frame = _make_frame(n)
+    t1, t2 = frame[1], frame[2]
+
+    eps = jnp.asarray(0.02, dtype)   # ~1.1 degree tilt
+    big = jnp.asarray(1e10, dtype)
+    dists = [dist0]
+    poss = [pos0]
+    for k in range(3):
+        phi = 2.0 * jnp.pi * k / 3.0
+        dir_k = n + eps * (jnp.cos(phi) * t1 + jnp.sin(phi) * t2)
+        s1 = sup1(dir_k)             # extreme of geom1 toward geom2
+        s2 = sup2(-dir_k)            # extreme of geom2 toward geom1
+        dk = jnp.dot(s2 - s1, n)     # separation along the shared normal
+        pk = 0.5 * (s1 + s2)
+        # dedup: a point contact collapses all samples onto pos0
+        dup = jnp.full((), False)
+        for prev in poss:
+            dup = dup | (mmath.norm_safe(pk - prev) < 1e-4)
+        # only keep patch samples when the primary contact is active
+        dk = jnp.where(dup | (dist0 > 0), big, dk)
+        dists.append(dk)
+        poss.append(pk)
+    dist = jnp.stack(dists)
+    pos = jnp.stack(poss)
+    return dist, pos, jnp.tile(frame[None], (4, 1, 1))
+
+
+def plane_convex(m: Model, d, g1: int, g2: int):
+    """Plane vs convex hull (mesh): the 4 most-penetrating hull vertices
+    (same pattern as the analytic plane-box routine — mjc_PlaneConvex
+    likewise emits multiple support vertices)."""
+    from mujoco_ros_pkgs_tpu.ops.narrowphase import _make_frame
+    n = d.geom_xmat[g1][:, 2]
+    p0 = d.geom_xpos[g1]
+    verts = _hull_verts(m, g2)
+    world = d.geom_xpos[g2] + verts @ d.geom_xmat[g2].T   # (k,3)
+    dists = world @ n - jnp.dot(n, p0)
+    neg_d, idx = jax.lax.top_k(-dists, 4)
+    sel = world[idx]
+    dsel = -neg_d
+    pos = sel - 0.5 * dsel[:, None] * n
+    frame = _make_frame(n)
+    return dsel, pos, jnp.tile(frame[None], (4, 1, 1))

@@ -475,6 +475,73 @@ _DISPATCH = {
     (GeomType.BOX, GeomType.BOX): (_box_box, 4),
 }
 
+
+def _register_generic_pairs():
+    """Convex pairs without dedicated analytic routines go through MPR
+    (ops/gjk.py) with ONE contact per pair — exactly how MuJoCo 2.3.7 routes
+    them through libccd `mjc_Convex` (engine_collision_driver.c collision
+    table). Analytic routines above take precedence."""
+    from mujoco_ros_pkgs_tpu.ops import gjk
+    convex = (GeomType.SPHERE, GeomType.CAPSULE, GeomType.ELLIPSOID,
+              GeomType.CYLINDER, GeomType.BOX, GeomType.MESH)
+    for i, t1 in enumerate(convex):
+        for t2 in convex[i:]:
+            _DISPATCH.setdefault((t1, t2), (gjk.convex_pair, 4))
+    _DISPATCH.setdefault((GeomType.PLANE, GeomType.MESH),
+                         (gjk.plane_convex, 4))
+
+
+_register_generic_pairs()
+
+
+_DEFAULTS_STACK: dict = {}
+
+
+def register_collision_function(t1: GeomType, t2: GeomType, fn, ncon: int,
+                                allow_override: bool = True) -> None:
+    """Install a custom narrowphase function for a geom-type pair.
+
+    Mirrors MujocoEnv::registerCollisionFunction
+    (mujoco_ros/src/mujoco_env.cpp:163-176): plugins may override the collision
+    function for a (type1, type2) pair; the previous function is remembered so
+    it can be restored (see unregister_collision_function — the reference
+    restores defaults on plugin unload via defaultCollisionFunctions).
+
+    `fn(m, d, g1, g2) -> (dist[ncon], pos[ncon,3], frame[ncon,3,3])` must be
+    traceable JAX with static output shapes. Takes effect for models compiled
+    (or reloaded) AFTER registration: contact capacities are baked into the
+    static slot table at compile time, so running servers must reload().
+    """
+    t1, t2 = GeomType(t1), GeomType(t2)
+    if t1 > t2:
+        t1, t2 = t2, t1
+    key = (t1, t2)
+    if key in _DISPATCH and not allow_override:
+        raise ValueError(f"collision function for {key} already registered")
+    _DEFAULTS_STACK.setdefault(key, []).append(_DISPATCH.get(key))
+    _DISPATCH[key] = (fn, int(ncon))
+    PAIR_NCON[key] = int(ncon)
+
+
+def unregister_collision_function(t1: GeomType, t2: GeomType) -> None:
+    """Restore the previously-registered function for the pair (the reference
+    re-installs mjCOLLISIONFUNC defaults when plugins unload)."""
+    t1, t2 = GeomType(t1), GeomType(t2)
+    if t1 > t2:
+        t1, t2 = t2, t1
+    key = (t1, t2)
+    stack = _DEFAULTS_STACK.get(key)
+    if not stack:
+        raise ValueError(f"no registration to undo for {key}")
+    prev = stack.pop()
+    if prev is None:
+        _DISPATCH.pop(key, None)
+        PAIR_NCON.pop(key, None)
+    else:
+        _DISPATCH[key] = prev
+        PAIR_NCON[key] = prev[1]
+
+
 # capacity table consumed by the compiler (core/assemble.py) — single source
 PAIR_NCON = {k: cap for k, (fn, cap) in _DISPATCH.items()}
 

@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--f32", action="store_true",
                     help="compute in float32 (TPU throughput mode)")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--profile-dir", default="",
+                    help="write a jax.profiler trace of the run here "
+                         "(the reference's profile:=true CPUPROFILE hook, "
+                         "launch_server.launch:93-95; view with TensorBoard "
+                         "or xprof)")
     return ap
 
 
@@ -110,6 +115,10 @@ def main(argv=None) -> int:
         srv.shutdown()
     signal.signal(signal.SIGINT, sigint)
 
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
+
     srv.start_physics_loop()
     if args.verbose:
         while not stop["flag"] and srv.num_steps_until_exit != 0:
@@ -121,6 +130,9 @@ def main(argv=None) -> int:
         while not stop["flag"] and srv.num_steps_until_exit != 0:
             time.sleep(0.2)
     srv.stop_physics_loop()
+    if args.profile_dir:
+        import jax
+        jax.profiler.stop_trace()
     return 0
 
 
