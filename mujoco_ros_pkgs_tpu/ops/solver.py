@@ -183,6 +183,68 @@ def _total_cost(m, efc, Mx_a, x_a, jar):
 
 def solve(m: Model, d: Data, efc: Efc) -> Data:
     dtype = d.qpos.dtype
+    from mujoco_ros_pkgs_tpu.ops import solver_tpu
+    if (dtype == jnp.float32 and solver_tpu.available()
+            and solver_tpu.supports(efc, m.nv)):
+        return _solve_dispatch_tpu(m, d, efc)
+    return _solve_jnp(m, d, efc)
+
+
+def _solve_dispatch_tpu(m: Model, d: Data, efc: Efc) -> Data:
+    """Route the batched (vmapped) case into the fused Pallas kernel.
+
+    `step()` is a per-env function everywhere (server/bench run
+    `vmap(step)`); `custom_vmap` intercepts exactly that batching point: the
+    unbatched call keeps the reference jnp path, the batched call runs one
+    fused kernel over the whole env batch — no API change anywhere above.
+    """
+    from mujoco_ros_pkgs_tpu.ops import solver_tpu
+
+    kinds = efc.kinds
+    con_base = tuple(zip(efc.con_base, efc.con_dim))
+    niter = min(m.opt.iterations, 20)
+    nls = max(2, min(m.opt.ls_iterations, 12) // 3)
+    warmstart = not (m.opt.disableflags & DisableBit.WARMSTART)
+    nv = m.nv
+
+    # per-contact friction coefficient (sigma for both tangents, dim-3 cones)
+    mu0 = (efc.con_mu[:, 0] if efc.con_mu is not None and len(efc.con_base)
+           else jnp.zeros((0,), dtype=efc.J.dtype))
+
+    # NOTE: the base function must not close over batched tracers (d/efc) —
+    # custom_vmap lifts closure constants into implicit batched inputs and
+    # fails. Both paths call the kernel; the unbatched base pays block padding.
+    @jax.custom_batching.custom_vmap
+    def _f(J, aref, D, floss, active, mu0, tol, M, a_s, ws):
+        x, qf, frows = solver_tpu.solve_batched(
+            kinds, con_base, nv, niter, nls, tol, warmstart,
+            J[None], aref[None], D[None], floss[None], active[None],
+            mu0[None], M[None], a_s[None], ws[None])
+        return x[0], qf[0], frows[0]
+
+    @_f.def_vmap
+    def _rule(axis_size, in_batched, J, aref, D, floss, active, mu0, tol, M,
+              a_s, ws):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+        (bJ, baref, bD, bfl, bact, bmu, btol, bM, bas, bws) = in_batched
+        tol0 = tol[0] if btol else tol
+        x, qf, frows = solver_tpu.solve_batched(
+            kinds, con_base, nv, niter, nls, tol0, warmstart,
+            bcast(J, bJ), bcast(aref, baref), bcast(D, bD), bcast(floss, bfl),
+            bcast(active, bact), bcast(mu0, bmu), bcast(M, bM),
+            bcast(a_s, bas), bcast(ws, bws))
+        return (x, qf, frows), (True, True, True)
+
+    x, qfrc, frows = _f(efc.J, efc.aref, efc.D, efc.frictionloss,
+                        efc.active, mu0, m.opt.tolerance, d.qM,
+                        d.qacc_smooth, d.qacc_warmstart)
+    return d.replace(qacc=x, qfrc_constraint=qfrc, efc_force_contact=frows,
+                     qacc_warmstart=x)
+
+
+def _solve_jnp(m: Model, d: Data, efc: Efc) -> Data:
+    dtype = d.qpos.dtype
     a_s = d.qacc_smooth
     M = d.qM
     J = efc.J
@@ -199,8 +261,15 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
 
     # Newton converges quadratically; caps keep the traced program small
     niter = min(m.opt.iterations, 20)
-    nls = min(m.opt.ls_iterations, 12)
+    nls = max(2, min(m.opt.ls_iterations, 12) // 3)
     tol = m.opt.tolerance
+
+    # bracket grid for the vectorized line search: phi'(alpha) is evaluated at
+    # ALL of these in ONE batched force pass (an alpha axis on the efc arrays —
+    # wider arrays and one kernel instead of a chain of sequential evals; the
+    # sequential bisection this replaces was ~14 dependent passes per Newton
+    # iteration and dominated step time on TPU)
+    grid = jnp.asarray([0.0625, 0.25, 0.5, 1.0, 2.0, 4.0, 16.0], dtype=dtype)
 
     def newton_step(carry, _):
         x, done = carry
@@ -215,7 +284,6 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
         L = jax.scipy.linalg.cholesky(H, lower=True)
         dx = -jax.scipy.linalg.cho_solve((L, True), grad)
 
-        # exact-ish line search: safeguarded Newton/bisection on phi'(alpha)
         v = J @ dx
         Mdx = M @ dx
         gMd = jnp.dot(Mdx, x - a_s)
@@ -231,13 +299,15 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
                 d2 = d2 + jnp.einsum('cd,cde,ce->', vc, W, vc)
             return d1, d2
 
-        # bracket [0, hi]: expand hi until phi'(hi) >= 0 (compiled as ONE
-        # fori body — keeps the traced program small)
-        def expand(_, hi):
-            d1, _ = dphi(hi)
-            return jnp.where(d1 < 0, hi * 2.0, hi)
-        hi = jax.lax.fori_loop(0, 6, expand, jnp.ones((), dtype=dtype))
+        # one vectorized pass: phi'(alpha) sign for the whole grid (d2 terms
+        # of the vmapped eval are dead-code-eliminated by XLA)
+        d1_grid = jax.vmap(lambda a: dphi(a)[0])(grid)
+        neg = d1_grid < 0
+        lo = jnp.max(jnp.where(neg, grid, jnp.zeros_like(grid)))
+        hi = jnp.min(jnp.where(neg, jnp.full_like(grid, grid[-1]), grid))
+        hi = jnp.maximum(hi, lo)              # all-negative grid: collapse at top
 
+        # few safeguarded Newton/bisection polish steps inside the bracket
         def ls_body(_, carry):
             lo, hi, alpha = carry
             d1, d2 = dphi(alpha)
@@ -247,15 +317,19 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
             inb = (newton > lo) & (newton < hi)
             alpha = jnp.where(inb, newton, 0.5 * (lo + hi))
             return lo, hi, alpha
-        lo = jnp.zeros((), dtype=dtype)
         _, _, alpha = jax.lax.fori_loop(
-            0, nls, ls_body, (lo, hi, jnp.ones((), dtype=dtype)))
+            0, nls, ls_body, (lo, hi, 0.5 * (lo + hi)))
 
-        x_new = x + alpha * dx
-        improved = cost_at(x) - cost_at(x_new)
-        # scaled convergence criterion (mujoco: improvement < tolerance)
+        # directional-derivative convergence: phi'(0) = <grad, dx> bounds the
+        # achievable improvement (improvement <= -0.5*alpha*phi'(0) at the
+        # exact minimizer of a quadratic section); replaces two full cost
+        # evaluations per iteration
+        d1_0 = jnp.dot(grad, dx)
+        improved_est = -0.5 * alpha * d1_0
         scale = jnp.maximum(jnp.sum(jnp.abs(M @ a_s)), mmath.MINVAL)
-        new_done = done | (improved < tol * scale) | (jnp.dot(grad, grad) < tol * tol)
+        new_done = done | (improved_est < tol * scale) \
+            | (jnp.dot(grad, grad) < tol * tol)
+        x_new = x + alpha * dx
         x_out = jnp.where(done, x, x_new)
         return (x_out, new_done), None
 

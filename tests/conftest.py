@@ -13,3 +13,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# The XLA CPU backend compiles float64 programs ~25x slower than float32
+# (measured: 46s vs 1.8s for one contact step). The parity suite is f64 by
+# design, so cache compiled executables persistently: a warm suite run skips
+# nearly all XLA work.
+_CACHE = os.path.expanduser("~/.cache/mujoco_ros_pkgs_tpu/jax")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
