@@ -54,7 +54,7 @@ def _tri(e, name, autolimits, has_range):
 
 
 def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
-              meshes=None, opt=None):
+              meshes=None, hfields=None, opt=None):
     import jax.numpy as jnp
     from mujoco_ros_pkgs_tpu.core.mjcf import _apply_defaults, _quat_mul, _quat_rot, _quat_to_mat
 
@@ -516,6 +516,18 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
     else:
         mesh_vert_padded = np.zeros((0, 0, 3))
 
+    hf_list = list(hfields.values()) if hfields else []
+    if hf_list:
+        mr = max(h.nrow for h in hf_list)
+        mc = max(h.ncol for h in hf_list)
+        hf_data = np.zeros((len(hf_list), mr, mc))
+        for k, h in enumerate(hf_list):
+            hf_data[k, : h.nrow, : h.ncol] = h.data
+        hf_size = np.stack([h.size for h in hf_list])
+    else:
+        hf_data = np.zeros((0, 0, 0))
+        hf_size = np.zeros((0, 4))
+
     option = types.Option(
         timestep=J(opt["timestep"]), gravity=J(opt["gravity"]), wind=J(opt["wind"]),
         magnetic=J(opt["magnetic"]), density=J(opt["density"]),
@@ -589,6 +601,12 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
         mesh_vertnum=tuple(mv.verts.shape[0] for mv in mesh_list),
         mesh_names=tuple(mv.name for mv in mesh_list),
         mesh_vert=J(mesh_vert_padded),
+        nhfield=len(hf_list),
+        hfield_nrow=tuple(h.nrow for h in hf_list),
+        hfield_ncol=tuple(h.ncol for h in hf_list),
+        hfield_names=tuple(h.name for h in hf_list),
+        hfield_size=J(hf_size),
+        hfield_data=J(hf_data),
         site_bodyid=tuple(s.bodyid for s in sites),
         site_pos=J(np.stack([s.pos for s in sites]) if nsite else np.zeros((0, 3))),
         site_quat=J(np.stack([s.quat for s in sites]) if nsite else np.zeros((0, 4))),

@@ -461,6 +461,45 @@ def _load_mesh_vertices(path: str) -> np.ndarray:
     return np.asarray(verts)
 
 
+class _HField:
+    """Height-field asset: normalized [0,1] elevation grid (mjCHField)."""
+
+    __slots__ = ("name", "size", "nrow", "ncol", "data")
+
+    def __init__(self, name: str, size: np.ndarray, nrow: int, ncol: int,
+                 data: Optional[np.ndarray]):
+        if nrow < 2 or ncol < 2:
+            raise ValueError(f"hfield '{name}': need nrow,ncol >= 2")
+        if data is None:
+            data = np.zeros((nrow, ncol))
+        data = np.asarray(data, dtype=np.float64).reshape(nrow, ncol)
+        # normalize to [0,1] like mjCHField::Compile
+        lo, hi = data.min(), data.max()
+        if hi - lo > 1e-15:
+            data = (data - lo) / (hi - lo)
+        else:
+            data = np.zeros_like(data)
+        self.name = name
+        self.size = np.asarray(size, dtype=np.float64)
+        self.nrow, self.ncol = nrow, ncol
+        self.data = data
+
+
+def _load_hfield_file(path: str):
+    """PNG (via PIL) or MuJoCo custom binary (int32 nrow, ncol, float32 data)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".png":
+        from PIL import Image
+        img = Image.open(path).convert("L")
+        arr = np.asarray(img, dtype=np.float64)
+        return arr.shape[0], arr.shape[1], arr
+    with open(path, "rb") as f:
+        raw = f.read()
+    nrow, ncol = np.frombuffer(raw[:8], dtype=np.int32)
+    data = np.frombuffer(raw[8:8 + 4 * nrow * ncol], dtype=np.float32)
+    return int(nrow), int(ncol), data.reshape(int(nrow), int(ncol)).astype(np.float64)
+
+
 def _parse_assets(root: ET.Element, base_dir: str, comp: "_Compiler"
                   ) -> Dict[str, _Mesh]:
     meshes: Dict[str, _Mesh] = {}
@@ -480,6 +519,33 @@ def _parse_assets(root: ET.Element, base_dir: str, comp: "_Compiler"
             raise ValueError(f"mesh '{name}': neither file nor vertex data")
         meshes[name] = _Mesh(name, raw * np.asarray(scale))
     return meshes
+
+
+def _parse_hfields(root: ET.Element, base_dir: str, comp: "_Compiler"
+                   ) -> Dict[str, _HField]:
+    hfields: Dict[str, _HField] = {}
+    asset = root.find("asset")
+    if asset is None:
+        return hfields
+    for e in asset.iter("hfield"):
+        file = _attr_s(e, "file")
+        name = _attr_s(e, "name") or os.path.splitext(os.path.basename(file))[0]
+        size = _attr_f(e, "size", None, n=4)
+        if size is None:
+            raise ValueError(f"hfield '{name}': size attribute required")
+        if e.get("elevation") is not None:      # inline grid (row-major)
+            nrow = int(_attr_s(e, "nrow", "0"))
+            ncol = int(_attr_s(e, "ncol", "0"))
+            data = _floats(e.get("elevation"))
+        elif file:
+            nrow, ncol, data = _load_hfield_file(
+                os.path.join(base_dir, comp.meshdir, file))
+        else:
+            nrow = int(_attr_s(e, "nrow", "0"))
+            ncol = int(_attr_s(e, "ncol", "0"))
+            data = None
+        hfields[name] = _HField(name, size, nrow, ncol, data)
+    return hfields
 
 
 # ---------------------------------------------------------------------------
@@ -545,6 +611,7 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
     comp = _Compiler(root.find("compiler"))
     defaults_tree = _collect_defaults(root)
     meshes = _parse_assets(root, base_dir, comp)
+    hfields = _parse_hfields(root, base_dir, comp)
 
     # ---------------- option ----------------
     oe = root.find("option")
@@ -689,6 +756,17 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
         g.meshid = -1
         g.inertia_diag = None
         mesh_name = _attr_s(e, "mesh")
+        hfield_name = _attr_s(e, "hfield")
+        if g.type == GeomType.HFIELD or hfield_name:
+            if g.type != GeomType.HFIELD:
+                raise ValueError(f"geom '{g.name}': hfield attr requires "
+                                 f"type='hfield'")
+            if hfield_name not in hfields:
+                raise ValueError(f"geom '{g.name}': undefined hfield "
+                                 f"'{hfield_name}'")
+            # geom_dataid indexes the hfield table (mjModel semantics)
+            g.meshid = list(hfields).index(hfield_name)
+            g.size = hfields[hfield_name].size[:3].copy()
         if mesh_name:
             if g.type != GeomType.MESH:
                 raise ValueError(
@@ -837,7 +915,7 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
 
     from mujoco_ros_pkgs_tpu.core.assemble import _assemble
     n_out = _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
-                      meshes=meshes,
+                      meshes=meshes, hfields=hfields,
                       opt=dict(timestep=timestep, gravity=gravity, wind=wind,
                            magnetic=magnetic, density=density,
                            viscosity=viscosity, impratio=impratio,

@@ -313,6 +313,14 @@ class Model:
     mesh_names: Tuple[str, ...] = _static(default=())
     mesh_vert: jax.Array = None      # (nmesh, max_vert, 3) padded local hull verts
 
+    # ---- height fields (normalized [0,1] elevation grids, ops/hfield.py) ----
+    nhfield: int = _static(default=0)
+    hfield_nrow: Tuple[int, ...] = _static(default=())
+    hfield_ncol: Tuple[int, ...] = _static(default=())
+    hfield_names: Tuple[str, ...] = _static(default=())
+    hfield_size: jax.Array = None    # (nhfield, 4) rx, ry, top_z, bottom_z
+    hfield_data: jax.Array = None    # (nhfield, max_nrow, max_ncol) in [0,1]
+
     # ---- sites ----
     site_bodyid: Tuple[int, ...] = _static(default=())
     site_pos: jax.Array = None       # (nsite, 3)

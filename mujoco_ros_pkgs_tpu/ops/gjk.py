@@ -339,9 +339,11 @@ def plane_convex(m: Model, d, g1: int, g2: int):
     """Plane vs convex hull (mesh): the 4 most-penetrating hull vertices
     (same pattern as the analytic plane-box routine — mjc_PlaneConvex
     likewise emits multiple support vertices)."""
+    return plane_convex_core(d.geom_xmat[g1][:, 2], d.geom_xpos[g1], m, d, g2)
+
+
+def plane_convex_core(n, p0, m: Model, d, g2: int):
     from mujoco_ros_pkgs_tpu.ops.narrowphase import _make_frame
-    n = d.geom_xmat[g1][:, 2]
-    p0 = d.geom_xpos[g1]
     verts = _hull_verts(m, g2)
     world = d.geom_xpos[g2] + verts @ d.geom_xmat[g2].T   # (k,3)
     dists = world @ n - jnp.dot(n, p0)

@@ -95,8 +95,11 @@ def _seg_seg_closest(p1, d1, h1, p2, d2, h2):
 # ---------------------------------------------------------------------------
 
 def _plane_sphere(m, d, g1, g2):
-    n = d.geom_xmat[g1][:, 2]
-    p0 = d.geom_xpos[g1]
+    return _plane_sphere_core(d.geom_xmat[g1][:, 2], d.geom_xpos[g1],
+                              m, d, g2)
+
+
+def _plane_sphere_core(n, p0, m, d, g2):
     c = d.geom_xpos[g2]
     r = m.geom_size[g2, 0]
     cdist = jnp.dot(n, c - p0)
@@ -106,8 +109,11 @@ def _plane_sphere(m, d, g1, g2):
 
 
 def _plane_capsule(m, d, g1, g2):
-    n = d.geom_xmat[g1][:, 2]
-    p0 = d.geom_xpos[g1]
+    return _plane_capsule_core(d.geom_xmat[g1][:, 2], d.geom_xpos[g1],
+                               m, d, g2)
+
+
+def _plane_capsule_core(n, p0, m, d, g2):
     c = d.geom_xpos[g2]
     axis = d.geom_xmat[g2][:, 2]
     r, hl = m.geom_size[g2, 0], m.geom_size[g2, 1]
@@ -123,8 +129,10 @@ def _plane_capsule(m, d, g1, g2):
 
 
 def _plane_box(m, d, g1, g2):
-    n = d.geom_xmat[g1][:, 2]
-    p0 = d.geom_xpos[g1]
+    return _plane_box_core(d.geom_xmat[g1][:, 2], d.geom_xpos[g1], m, d, g2)
+
+
+def _plane_box_core(n, p0, m, d, g2):
     c = d.geom_xpos[g2]
     R = d.geom_xmat[g2]
     size = m.geom_size[g2]
@@ -237,11 +245,14 @@ def _capsule_box(m, d, g1, g2):
 
 
 def _plane_cylinder(m, d, g1, g2):
+    return _plane_cylinder_core(d.geom_xmat[g1][:, 2], d.geom_xpos[g1],
+                                m, d, g2)
+
+
+def _plane_cylinder_core(n, p0, m, d, g2):
     """Up to 4 contacts: tilted → deepest rim point + antipode on both caps;
     upright → 120-degree tripod on the contacting cap (stable support)."""
     dtype = d.qpos.dtype
-    n = d.geom_xmat[g1][:, 2]
-    p0 = d.geom_xpos[g1]
     c = d.geom_xpos[g2]
     a = d.geom_xmat[g2][:, 2]
     r, hl = m.geom_size[g2, 0], m.geom_size[g2, 1]
@@ -280,9 +291,12 @@ def _plane_cylinder(m, d, g1, g2):
 
 
 def _plane_ellipsoid(m, d, g1, g2):
+    return _plane_ellipsoid_core(d.geom_xmat[g1][:, 2], d.geom_xpos[g1],
+                                 m, d, g2)
+
+
+def _plane_ellipsoid_core(n, p0, m, d, g2):
     """Support point of the ellipsoid along -n (single contact)."""
-    n = d.geom_xmat[g1][:, 2]
-    p0 = d.geom_xpos[g1]
     c = d.geom_xpos[g2]
     R = d.geom_xmat[g2]
     s = m.geom_size[g2]
@@ -489,6 +503,10 @@ def _register_generic_pairs():
             _DISPATCH.setdefault((t1, t2), (gjk.convex_pair, 4))
     _DISPATCH.setdefault((GeomType.PLANE, GeomType.MESH),
                          (gjk.plane_convex, 4))
+    # hfield vs everything: bilinear tangent-plane delegation (ops/hfield.py)
+    from mujoco_ros_pkgs_tpu.ops import hfield as hf
+    for t2, cap in hf.HFIELD_NCON.items():
+        _DISPATCH.setdefault((GeomType.HFIELD, t2), (hf.hfield_pair, cap))
 
 
 _register_generic_pairs()
