@@ -25,6 +25,66 @@ _SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
 from mujoco_ros_pkgs_tpu.ops.narrowphase import PAIR_NCON as _PAIR_NCON  # noqa: E402
 
 
+def collision_pair_table(geom_type, geom_contype, geom_conaffinity,
+                         geom_bodyid, body_weldid, body_parentid,
+                         filterparent, excludes, explicit_pairs,
+                         collision_mode="all"):
+    """Static collision pair list + total contact capacity.
+
+    Mirrors mj_collision's body-pair filter (weld/parent/exclude) and the
+    contype&conaffinity bitmask rule of MuJoCo 2.3.7. Reused at runtime by
+    MujocoServer.set_geom_properties(set_type=...) to rebuild the pair table
+    when a geom's type (and therefore per-pair contact capacity) changes.
+    """
+    ngeom = len(geom_type)
+    pairs = []
+    if collision_mode != "predefined":
+        for g1 in range(ngeom):
+            for g2 in range(g1 + 1, ngeom):
+                b1, b2 = geom_bodyid[g1], geom_bodyid[g2]
+                w1, w2 = body_weldid[b1], body_weldid[b2]
+                if w1 == w2:
+                    continue
+                if (b1, b2) in excludes or (b2, b1) in excludes:
+                    continue
+                if filterparent and w1 != 0 and w2 != 0:
+                    wp1 = body_weldid[body_parentid[w1]]
+                    wp2 = body_weldid[body_parentid[w2]]
+                    if w1 == wp2 or w2 == wp1:
+                        continue
+                if not ((geom_contype[g1] & geom_conaffinity[g2])
+                        or (geom_contype[g2] & geom_conaffinity[g1])):
+                    continue
+                pairs.append((g1, g2))
+    for (g1, g2) in explicit_pairs:
+        if (g1, g2) not in pairs and (g2, g1) not in pairs:
+            pairs.append((g1, g2))
+
+    ordered, ncon_max = [], 0
+    for (g1, g2) in pairs:
+        t1, t2 = geom_type[g1], geom_type[g2]
+        if t1 > t2:
+            g1, g2, t1, t2 = g2, g1, t2, t1
+        cap = _PAIR_NCON.get((GeomType(t1), GeomType(t2)))
+        if cap is None:
+            continue  # unsupported narrowphase pair — skipped (logged by server)
+        ordered.append((g1, g2))
+        ncon_max += cap
+    return tuple(ordered), ncon_max
+
+
+def rebuild_pair_table(m: "types.Model") -> "types.Model":
+    """Recompute collision_pairs/ncon_max for a Model whose geom types (or
+    filter inputs) changed at runtime. Returns an updated Model."""
+    filterparent = not bool(m.opt.disableflags
+                            & types.DisableBit.FILTERPARENT)
+    ordered, ncon_max = collision_pair_table(
+        m.geom_type, m.geom_contype, m.geom_conaffinity, m.geom_bodyid,
+        m.body_weldid, m.body_parentid, filterparent, m.pair_exclude,
+        m.pair_explicit, m.collision_mode)
+    return m.replace(collision_pairs=ordered, ncon_max=ncon_max)
+
+
 def _floats(s):
     return np.array([float(x) for x in s.split()], dtype=np.float64)
 
@@ -454,6 +514,8 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
                 arr[ki, : v.size] = v
 
     # ---------------- collision pair table ----------------
+    # (built by collision_pair_table below; provenance stored on the Model so
+    # the table can be rebuilt on runtime geom-type changes)
     filterparent = not bool(opt["disableflags"] & types.DisableBit.FILTERPARENT)
     excludes = set()
     explicit_pairs = []
@@ -466,39 +528,17 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
                 explicit_pairs.append((geom_names_list.index(pe.get("geom1")),
                                        geom_names_list.index(pe.get("geom2"))))
 
-    pairs = []
-    if opt["collision_mode"] != "predefined":
-        for g1 in range(ngeom):
-            for g2 in range(g1 + 1, ngeom):
-                b1, b2 = geoms[g1].bodyid, geoms[g2].bodyid
-                w1, w2 = body_weldid[b1], body_weldid[b2]
-                if w1 == w2:
-                    continue
-                if (b1, b2) in excludes or (b2, b1) in excludes:
-                    continue
-                if filterparent and w1 != 0 and w2 != 0:
-                    wp1 = body_weldid[body_parentid[w1]]
-                    wp2 = body_weldid[body_parentid[w2]]
-                    if w1 == wp2 or w2 == wp1:
-                        continue
-                if not ((geoms[g1].contype & geoms[g2].conaffinity)
-                        or (geoms[g2].contype & geoms[g1].conaffinity)):
-                    continue
-                pairs.append((g1, g2))
-    for (g1, g2) in explicit_pairs:
-        if (g1, g2) not in pairs and (g2, g1) not in pairs:
-            pairs.append((g1, g2))
-
-    ordered, ncon_max = [], 0
-    for (g1, g2) in pairs:
-        t1, t2 = geoms[g1].type, geoms[g2].type
-        if t1 > t2:
-            g1, g2, t1, t2 = g2, g1, t2, t1
-        cap = _PAIR_NCON.get((GeomType(t1), GeomType(t2)))
-        if cap is None:
-            continue  # unsupported narrowphase pair — skipped (logged by server)
-        ordered.append((g1, g2))
-        ncon_max += cap
+    ordered, ncon_max = collision_pair_table(
+        geom_type=tuple(g.type for g in geoms),
+        geom_contype=tuple(g.contype for g in geoms),
+        geom_conaffinity=tuple(g.conaffinity for g in geoms),
+        geom_bodyid=tuple(g.bodyid for g in geoms),
+        body_weldid=tuple(body_weldid),
+        body_parentid=tuple(body_parentid),
+        filterparent=filterparent,
+        excludes=tuple(sorted(excludes)),
+        explicit_pairs=tuple(explicit_pairs),
+        collision_mode=opt["collision_mode"])
 
     # ---------------- build Model ----------------
     def J(x):
@@ -656,6 +696,9 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
         actuator_names=tuple(actuator_names),
         sensor_names=tuple(sensor_names), key_names=tuple(key_names),
         collision_pairs=tuple(ordered), ncon_max=ncon_max,
+        pair_exclude=tuple(sorted(excludes)),
+        pair_explicit=tuple(explicit_pairs),
+        collision_mode=opt["collision_mode"],
         dof_floss_adr=tuple(v for v in range(nv)
                             if jnts[dof_jntid[v]].frictionloss > 0),
         tendon_floss_adr=tuple(t for t in range(ntendon)

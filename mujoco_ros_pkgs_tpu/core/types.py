@@ -421,6 +421,13 @@ class Model:
     # each entry: (geom1, geom2, ncon_capacity); grouped by (type1, type2) at use site
     collision_pairs: Tuple[Tuple[int, int], ...] = _static(default=())
     ncon_max: int = _static(default=0)
+    # pair-table provenance, kept so the table can be REBUILT when a geom's
+    # type changes at runtime (set_geom_properties set_type — the reference
+    # recompiles contact capacities implicitly because libmujoco's mj_collision
+    # re-dispatches per step, mujoco_ros/src/callbacks.cpp:508-592):
+    pair_exclude: Tuple[Tuple[int, int], ...] = _static(default=())   # body ids
+    pair_explicit: Tuple[Tuple[int, int], ...] = _static(default=())  # geom ids
+    collision_mode: str = _static(default="all")
 
     def astype(self, dtype) -> "Model":
         """Cast all floating-point arrays to dtype (e.g. f32 for TPU throughput)."""

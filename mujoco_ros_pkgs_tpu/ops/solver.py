@@ -202,8 +202,20 @@ def _solve_dispatch_tpu(m: Model, d: Data, efc: Efc) -> Data:
 
     kinds = efc.kinds
     con_base = tuple(zip(efc.con_base, efc.con_dim))
-    niter = min(m.opt.iterations, 20)
-    nls = max(2, min(m.opt.ls_iterations, 12) // 3)
+    # the fused kernel runs a fixed iteration count (no in-kernel convergence
+    # exit); iterations beyond 32 are truncated WITH a warning — not silently
+    # (the jnp path honors m.opt.iterations exactly)
+    niter = min(m.opt.iterations, 32)
+    if m.opt.iterations > 32:
+        import warnings
+        warnings.warn(
+            f"solver_tpu: m.opt.iterations={m.opt.iterations} truncated to 32 "
+            "in the fused TPU kernel (fixed-trip Newton); set iterations<=32 "
+            "or disable the kernel path for exact option semantics",
+            stacklevel=2)
+    # bracketed line search: the 7-point grid pass replaces bracketing
+    # iterations; ls_iterations maps to polish steps at ~1:3 (PARITY.md)
+    nls = max(2, min(m.opt.ls_iterations, 24) // 3)
     warmstart = not (m.opt.disableflags & DisableBit.WARMSTART)
     nv = m.nv
 
@@ -259,10 +271,18 @@ def _solve_jnp(m: Model, d: Data, efc: Efc) -> Data:
         ws = d.qacc_warmstart
         x0 = jnp.where(cost_at(ws) < cost_at(a_s), ws, a_s)
 
-    # Newton converges quadratically; caps keep the traced program small
-    niter = min(m.opt.iterations, 20)
-    nls = max(2, min(m.opt.ls_iterations, 12) // 3)
+    # m.opt.iterations is honored EXACTLY (no silent cap): the Newton loop is
+    # a while_loop that exits on convergence, so a model asking for 100
+    # iterations gets up to 100 but pays only for the ~3-6 it needs.
+    # ls_iterations maps onto this solver's bracketed line search: a 7-point
+    # bracket grid (one batched pass) replaces the initial bracketing
+    # iterations, then up to ls_iterations safeguarded Newton/bisection polish
+    # steps run, exiting early when the bracket is tighter than
+    # m.opt.ls_tolerance (see PARITY.md "solver options").
+    niter = int(m.opt.iterations)
+    nls = max(2, int(m.opt.ls_iterations))
     tol = m.opt.tolerance
+    ls_tol = m.opt.ls_tolerance
 
     # bracket grid for the vectorized line search: phi'(alpha) is evaluated at
     # ALL of these in ONE batched force pass (an alpha axis on the efc arrays —
@@ -271,8 +291,8 @@ def _solve_jnp(m: Model, d: Data, efc: Efc) -> Data:
     # iteration and dominated step time on TPU)
     grid = jnp.asarray([0.0625, 0.25, 0.5, 1.0, 2.0, 4.0, 16.0], dtype=dtype)
 
-    def newton_step(carry, _):
-        x, done = carry
+    def newton_step(carry):
+        x, done, it = carry
         jar = J @ x - efc.aref
         f, w_diag, _, groups = _forces_and_weights(m, efc, jar)
         grad = M @ (x - a_s) - J.T @ f
@@ -307,18 +327,24 @@ def _solve_jnp(m: Model, d: Data, efc: Efc) -> Data:
         hi = jnp.min(jnp.where(neg, jnp.full_like(grid, grid[-1]), grid))
         hi = jnp.maximum(hi, lo)              # all-negative grid: collapse at top
 
-        # few safeguarded Newton/bisection polish steps inside the bracket
-        def ls_body(_, carry):
-            lo, hi, alpha = carry
+        # safeguarded Newton/bisection polish inside the bracket; exits when
+        # the bracket width is below ls_tolerance (relative to the bracket top)
+        def ls_cond(carry):
+            lo, hi, alpha, it = carry
+            return (it < nls) & ((hi - lo) > ls_tol * jnp.maximum(hi, 1.0))
+
+        def ls_body(carry):
+            lo, hi, alpha, it = carry
             d1, d2 = dphi(alpha)
             lo = jnp.where(d1 < 0, alpha, lo)
             hi = jnp.where(d1 >= 0, alpha, hi)
             newton = alpha - d1 / jnp.maximum(d2, mmath.MINVAL)
             inb = (newton > lo) & (newton < hi)
             alpha = jnp.where(inb, newton, 0.5 * (lo + hi))
-            return lo, hi, alpha
-        _, _, alpha = jax.lax.fori_loop(
-            0, nls, ls_body, (lo, hi, 0.5 * (lo + hi)))
+            return lo, hi, alpha, it + 1
+        _, _, alpha, _ = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (lo, hi, 0.5 * (lo + hi), jnp.zeros((), dtype=jnp.int32)))
 
         # directional-derivative convergence: phi'(0) = <grad, dx> bounds the
         # achievable improvement (improvement <= -0.5*alpha*phi'(0) at the
@@ -329,12 +355,15 @@ def _solve_jnp(m: Model, d: Data, efc: Efc) -> Data:
         scale = jnp.maximum(jnp.sum(jnp.abs(M @ a_s)), mmath.MINVAL)
         new_done = done | (improved_est < tol * scale) \
             | (jnp.dot(grad, grad) < tol * tol)
-        x_new = x + alpha * dx
-        x_out = jnp.where(done, x, x_new)
-        return (x_out, new_done), None
+        return (x + alpha * dx, new_done, it + 1)
 
-    (x, _), _ = jax.lax.scan(newton_step, (x0, jnp.zeros((), dtype=bool)),
-                             None, length=niter)
+    def newton_cond(carry):
+        _, done, it = carry
+        return (it < niter) & ~done
+
+    (x, _, _) = jax.lax.while_loop(
+        newton_cond, newton_step,
+        (x0, jnp.zeros((), dtype=bool), jnp.zeros((), dtype=jnp.int32)))
 
     jar = J @ x - efc.aref
     f, _, _, _ = _forces_and_weights(m, efc, jar)

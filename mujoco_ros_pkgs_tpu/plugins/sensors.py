@@ -48,8 +48,12 @@ class SensorsPlugin(MujocoPlugin):
         return True
 
     def init_state(self, m: Model, batch: int) -> Any:
+        # registered noise models persist across reset (the reference keeps
+        # them as plugin members; reset does not clear them) — rebuild the
+        # per-dim arrays from the registry instead of zeroing
+        mean, std, enabled = self.noise_arrays(m)
         z = jnp.zeros(m.nsensordata)
-        return dict(mean=z, std=z, enabled=z, noisy=z, gt=z)
+        return dict(mean=mean, std=std, enabled=enabled, noisy=z, gt=z)
 
     # -- control plane --
     def register_noise_models(self, models) -> int:

@@ -143,15 +143,18 @@ class MujocoServer:
         self.registry = PluginRegistry()
         for p in self._pending_plugins:
             self.registry.register(p, m, d1)
-        pstates1 = self.registry.init_states(m, self.nenv)
-        self.pstates = jax.tree_util.tree_map(
+        self.pstates = self._broadcast_pstates(
+            self.registry.init_states(m, self.nenv))
+        self._step_cache: Dict[int, Callable] = {}
+        self._status = STATUS_RUNNING
+        self._load_error = ""
+
+    def _broadcast_pstates(self, pstates1):
+        return jax.tree_util.tree_map(
             lambda x: (jnp.broadcast_to(jnp.asarray(x),
                                         (self.nenv,) + jnp.asarray(x).shape)
                        if hasattr(x, "shape") or np.isscalar(x) else x),
             pstates1)
-        self._step_cache: Dict[int, Callable] = {}
-        self._status = STATUS_RUNNING
-        self._load_error = ""
 
     def _apply_initial_joint_states(self):
         """loadInitialJointStates (mujoco_env.cpp:266-389): set joint positions
@@ -495,6 +498,13 @@ class MujocoServer:
             self.d = self.d.replace(rng=keys)
             self._apply_initial_joint_states()
             self.registry.reset_all(self.m, d1)
+            # plugin STATE pytrees (PID integrators, mocap targets, noise
+            # buffers) are re-initialized too — the reference resets plugins
+            # on reset via safe_reset (mujoco_env.cpp:246-264); runtime
+            # registrations held on plugin objects (e.g. noise models) are
+            # reflected because init_state reads the plugin's current config
+            self.pstates = self._broadcast_pstates(
+                self.registry.init_states(self.m, self.nenv))
         return ServiceResult(True, "")
 
     def get_loading_request_state(self) -> StateUint:
@@ -631,10 +641,28 @@ class MujocoServer:
                 updates["body_mass"] = jnp.asarray(bm)
             newm = m.replace(**updates) if updates else m
             if set_type and props.type != m.geom_type[g]:
-                # static structure change → recompile-level mutation
+                # static structure change: rebuild the collision pair table
+                # (per-pair contact capacities depend on the type) and the
+                # live contact/efc buffers whose shapes were compiled from it
+                from mujoco_ros_pkgs_tpu.core import assemble
+                from mujoco_ros_pkgs_tpu.ops import narrowphase
+                from mujoco_ros_pkgs_tpu.ops import efc as efcmod
                 gt = list(m.geom_type)
                 gt[g] = int(props.type)
                 newm = newm.replace(geom_type=tuple(gt))
+                rb = np.array(newm.geom_rbound)
+                from mujoco_ros_pkgs_tpu.core.mjcf import _geom_rbound
+                rb[g] = _geom_rbound(int(props.type), np.asarray(newm.geom_size[g]))
+                newm = newm.replace(geom_rbound=jnp.asarray(rb))
+                newm = assemble.rebuild_pair_table(newm)
+                c1 = narrowphase.empty_contact(newm, self.d.qpos.dtype)
+                nefc = max(efcmod.row_layout(newm)["nrow"], 1)
+                self.d = self.d.replace(
+                    contact=jax.tree_util.tree_map(
+                        lambda x: jnp.broadcast_to(x, (self.nenv,) + x.shape),
+                        c1),
+                    efc_force_contact=jnp.zeros((self.nenv, nefc),
+                                                dtype=self.d.qpos.dtype))
             if updates or set_type:
                 newm = constants.set_constants(newm)
                 self.m = newm

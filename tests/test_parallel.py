@@ -105,3 +105,28 @@ def test_checkpoint_model_mismatch(tmp_path):
     s3 = MujocoServer(worlds.BOXES, nenv=4, unpause=False)
     with pytest.raises(ValueError):
         checkpoint.load(s3, str(tmp_path / "ck"))
+
+
+def test_batched_env0_bitmatches_single():
+    """BASELINE config 2's lockstep gate: the vmap-batched env 0 trajectory is
+    BIT-IDENTICAL to the unbatched single-env trajectory (exact equality, not
+    a tolerance)."""
+    m = mrt.load_model_from_string(worlds.BOXES)
+    d1 = fwd.make_data(m)
+    d1 = d1.replace(qpos=d1.qpos.at[2].set(0.25),
+                    qvel=d1.qvel.at[0].set(0.3))
+    nenv = 4
+    db = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (nenv,) + x.shape), d1)
+
+    step1 = jax.jit(lambda d: fwd.step(m, d))
+    stepb = jax.jit(jax.vmap(lambda dd: fwd.step(m, dd)))
+    for _ in range(50):
+        d1 = step1(d1)
+        db = stepb(db)
+    q1, qb = np.asarray(d1.qpos), np.asarray(db.qpos)
+    v1, vb = np.asarray(d1.qvel), np.asarray(db.qvel)
+    assert np.array_equal(qb[0], q1), np.abs(qb[0] - q1).max()
+    assert np.array_equal(vb[0], v1), np.abs(vb[0] - v1).max()
+    # all lockstep lanes identical
+    assert np.array_equal(qb, np.broadcast_to(q1, qb.shape))
