@@ -361,9 +361,13 @@ def _solve_jnp(m: Model, d: Data, efc: Efc) -> Data:
         _, done, it = carry
         return (it < niter) & ~done
 
+    # initial done flag derived from x0 (not a constant): keeps the carry
+    # "varying" under shard_map's manual-axes type checks, and skips the
+    # solve outright on NaN input
+    done0 = jnp.any(jnp.isnan(x0))
     (x, _, _) = jax.lax.while_loop(
         newton_cond, newton_step,
-        (x0, jnp.zeros((), dtype=bool), jnp.zeros((), dtype=jnp.int32)))
+        (x0, done0, jnp.zeros((), dtype=jnp.int32)))
 
     jar = J @ x - efc.aref
     f, _, _, _ = _forces_and_weights(m, efc, jar)
