@@ -61,8 +61,11 @@ class Efc:
 # ---------------------------------------------------------------------------
 
 def _impedance(solimp, pos, margin):
-    d0, dmax, width, mid, power = (solimp[0], solimp[1], solimp[2], solimp[3],
-                                   solimp[4])
+    # `[..., k]` indexing keeps this polymorphic: scalar rows (solimp (5,))
+    # and vectorized contact blocks (solimp (C,5), pos (C,)) share the code
+    d0, dmax, width, mid, power = (solimp[..., 0], solimp[..., 1],
+                                   solimp[..., 2], solimp[..., 3],
+                                   solimp[..., 4])
     x = jnp.abs(pos - margin) / jnp.maximum(width, mmath.MINVAL)
     x = jnp.clip(x, 0.0, 1.0)
     mid = jnp.clip(mid, MINIMP, MAXIMP)
@@ -78,19 +81,20 @@ def _impedance(solimp, pos, margin):
 
 
 def _kbi(m: Model, solref, solimp, pos, margin):
-    """Stiffness/damping/impedance from solref/solimp (mj_makeImpedance)."""
+    """Stiffness/damping/impedance from solref/solimp (mj_makeImpedance).
+    Polymorphic over a leading batch axis (see _impedance)."""
     imp = _impedance(solimp, pos, margin)
-    dmax = jnp.clip(solimp[1], MINIMP, MAXIMP)
-    timeconst, dampratio = solref[0], solref[1]
+    dmax = jnp.clip(solimp[..., 1], MINIMP, MAXIMP)
+    timeconst, dampratio = solref[..., 0], solref[..., 1]
     if not (m.opt.disableflags & DisableBit.REFSAFE):
         timeconst = jnp.maximum(timeconst, 2.0 * m.opt.timestep)
     k_std = 1.0 / jnp.maximum(dmax * dmax * timeconst * timeconst
                               * dampratio * dampratio, mmath.MINVAL)
     b_std = 2.0 / jnp.maximum(dmax * timeconst, mmath.MINVAL)
     # direct (negative) solref: k = -solref[0], b = -solref[1]
-    direct = (solref[0] <= 0) | (solref[1] <= 0)
-    k = jnp.where(direct, -solref[0] / (dmax * dmax), k_std)
-    b = jnp.where(direct, -solref[1], b_std)
+    direct = (solref[..., 0] <= 0) | (solref[..., 1] <= 0)
+    k = jnp.where(direct, -solref[..., 0] / (dmax * dmax), k_std)
+    b = jnp.where(direct, -solref[..., 1], b_std)
     return k, b, imp
 
 
@@ -385,101 +389,203 @@ def make_efc(m: Model, d: Data) -> Efc:
             actives.append(dist < margin)
             metas.append(RowMeta('lim'))
 
-    # ---- contacts ----
+    # ---- contacts (VECTORIZED over slots, grouped by condim) ----
+    # the traced graph scales with the number of distinct condims, not with
+    # the number of contact slots: a 500-slot pile scene assembles its rows
+    # in a handful of gather/einsum programs (compile-time fix, VERDICT r1 #2)
     con_base: List[int] = []
     con_dim: List[int] = []
-    con_act: List[jax.Array] = []
-    con_mu: List[jax.Array] = []
+    con_mu = jnp.zeros((0, 5), dtype=dtype)
+    con_act = jnp.zeros((0,), dtype=bool)
     pyramidal = m.opt.cone == 0
+    n_pre = len(rows)
+    con_blocks = []      # (dest_rows np, field dict) per condim group
     if (m.ncon_max and not (m.opt.disableflags
                             & (DisableBit.CONSTRAINT | DisableBit.CONTACT))):
         c = d.contact
-        for i in range(len(c.geom1)):
-            g1, g2 = c.geom1[i], c.geom2[i]
-            if g1 < 0:
-                continue
+        slots = [i for i in range(len(c.geom1)) if c.geom1[i] >= 0]
+        # canonical row base per slot (row order identical to the unrolled
+        # assembly: slots in contact order, rows contiguous per slot)
+        bases, rb = [], n_pre
+        for i in slots:
             dim = c.dim[i]
-            b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
-            act = c.dist[i] < c.includemargin[i]
-            invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-            jacp1, jacr1 = _jac(m, d, c.pos[i], b1)
-            jacp2, jacr2 = _jac(m, d, c.pos[i], b2)
-            djp = (jacp2 - jacp1).T    # (3, nv)
-            djr = (jacr2 - jacr1).T
-            frame = c.frame[i]         # rows: n, t1, t2
-            Jn = frame[0] @ djp
+            nr = 2 * (dim - 1) if (pyramidal and dim > 1) else dim
+            bases.append(rb)
+            rb += nr
+        # elliptic slot bookkeeping in canonical slot order
+        ell = [k for k, i in enumerate(slots)
+               if not (pyramidal and c.dim[i] > 1)]
+        if ell:
+            sel = np.array([slots[k] for k in ell])
+            con_base = [bases[k] for k in ell]
+            con_dim = [c.dim[slots[k]] for k in ell]
+            con_mu = c.friction[sel]
+            con_act = c.dist[sel] < c.includemargin[sel]
 
-            def fric_jac(k):
-                if k <= 2:
-                    return frame[k] @ djp
-                if k == 3:
-                    return frame[0] @ djr
-                return frame[k - 3] @ djr
+        bdmask = smooth.body_dof_mask(m)               # (nv, nbody) static
+        rootid = np.array(m.body_rootid, dtype=np.int32)
+        gb = np.array(m.geom_bodyid, dtype=np.int32)
 
+        by_dim: dict = {}
+        for k, i in enumerate(slots):
+            by_dim.setdefault(int(c.dim[i]), []).append((k, i))
+        for dim, items in sorted(by_dim.items()):
+            ks = np.array([k for k, _ in items])
+            idx = np.array([i for _, i in items])      # contact slot ids
+            C = len(idx)
+            b1 = gb[np.array([c.geom1[i] for i in idx])]
+            b2 = gb[np.array([c.geom2[i] for i in idx])]
+            pos = c.pos[idx]                           # (C,3)
+            frame = c.frame[idx]                       # (C,3,3) rows n,t1,t2
+            dist = c.dist[idx]
+            incm = c.includemargin[idx]
+            solref = c.solref[idx]
+            solimp = c.solimp[idx]
+            fric = c.friction[idx]                     # (C,5)
+            act = dist < incm                          # (C,)
+            invw = (m.body_invweight0[b1, 0]
+                    + m.body_invweight0[b2, 0]).astype(dtype)
+
+            # batched point-jacobian differences (one einsum program per dim)
+            def _jacs(bs):
+                mask = jnp.asarray(bdmask[:, bs].T[:, :, None], dtype=dtype)
+                ref = d.subtree_com[rootid[bs]]        # (C,3)
+                off = pos - ref                        # (C,3)
+                jacp = (d.cdof[None, :, 3:]
+                        + jnp.cross(d.cdof[None, :, :3],
+                                    off[:, None, :])) * mask   # (C,nv,3)
+                jacr = d.cdof[None, :, :3] * mask
+                return jacp, jacr
+
+            jacp1, jacr1 = _jacs(b1)
+            jacp2, jacr2 = _jacs(b2)
+            djp = jacp2 - jacp1                        # (C, nv, 3)
+            djr = jacr2 - jacr1
+            Jn = jnp.einsum('ck,cvk->cv', frame[:, 0], djp)    # (C, nv)
+
+            # friction jacobians in row order k=1..dim-1
+            Jf_list = []
+            if dim > 1:
+                Jf_list.append(jnp.einsum(
+                    'crk,cvk->crv', frame[:, 1:3], djp))       # t1, t2
+            if dim > 3:
+                nrot = dim - 3
+                Jf_list.append(jnp.einsum(
+                    'crk,cvk->crv', frame[:, :nrot], djr))     # torsion/roll
+            Jf = (jnp.concatenate(Jf_list, axis=1) if Jf_list
+                  else jnp.zeros((C, 0, nv), dtype=dtype))     # (C,dim-1,nv)
+
+            dest = np.concatenate([
+                np.arange(bases[k], bases[k]
+                          + (2 * (dim - 1) if (pyramidal and dim > 1)
+                             else dim)) for k in ks])
+
+            k_, b_, imp_ = _kbi(m, solref, solimp, dist, incm)
             if pyramidal and dim > 1:
-                # facet rows Jn ± mu_i*Jt_i; one-sided quadratic cost ('lim');
+                # facet rows Jn ± mu_k*Jt_k, one-sided quadratic ('lim');
                 # invweight 2*mu0^2*(1+mu0^2)*invw (oracle-verified)
-                mu0 = c.friction[i][0]
+                nr = 2 * (dim - 1)
+                mu = fric[:, :dim - 1]                          # (C,dim-1)
+                sgns = jnp.asarray([1.0, -1.0], dtype=dtype)
+                Jpm = (Jn[:, None, None, :]
+                       + sgns[None, None, :, None]
+                       * (mu[:, :, None, None] * Jf[:, :, None, :]))
+                Jblk = Jpm.reshape(C, nr, nv)
+                mu0 = fric[:, 0]
                 invw_p = 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) * invw
-                for k in range(1, dim):
-                    mu_k = c.friction[i][k - 1]
-                    Jt = fric_jac(k)
-                    for sgn in (1.0, -1.0):
-                        Jf = Jn + sgn * mu_k * Jt
-                        rows.append(_row(m, Jf, c.dist[i], c.includemargin[i],
-                                         invw_p, c.solref[i], c.solimp[i],
-                                         zero, Jf @ qvel))
-                        actives.append(act)
-                        metas.append(RowMeta('lim'))
+                aref1 = (-b_[:, None] * jnp.einsum('crv,v->cr', Jblk, qvel)
+                         - (k_ * imp_ * (dist - incm))[:, None])
+                R1 = jnp.repeat(jnp.maximum(
+                    (1.0 - imp_) / imp_ * invw_p,
+                    mmath.MINVAL)[:, None], nr, axis=1)
+                blk = dict(
+                    J=Jblk.reshape(C * nr, nv),
+                    pos=jnp.repeat(dist, nr), margin=jnp.repeat(incm, nr),
+                    R=R1.reshape(C * nr), D=(1.0 / R1).reshape(C * nr),
+                    aref=aref1.reshape(C * nr),
+                    frictionloss=jnp.zeros(C * nr, dtype=dtype),
+                    active=jnp.repeat(act, nr),
+                    kinds=['lim'] * (C * nr))
+                con_blocks.append((dest, blk))
                 continue
 
             # elliptic (or frictionless): normal row + cone friction rows
-            con_base.append(len(rows))
-            con_dim.append(dim)
-            con_act.append(act)
-            con_mu.append(c.friction[i])
-            rows.append(_row(m, Jn, c.dist[i], c.includemargin[i], invw,
-                             c.solref[i], c.solimp[i], zero, Jn @ qvel))
-            actives.append(act)
-            metas.append(RowMeta('con', len(con_base) - 1, 0))
-            imprat = m.opt.impratio
-            for k in range(1, dim):
-                Jf = fric_jac(k)
+            Rn = jnp.maximum((1.0 - imp_) / imp_ * invw, mmath.MINVAL)
+            aref_n = (-b_ * jnp.einsum('cv,v->c', Jn, qvel)
+                      - k_ * imp_ * (dist - incm))
+            if dim > 1:
+                imprat = jnp.asarray(m.opt.impratio, dtype=dtype)
                 # friction-row D: normal D * impratio; ROTATIONAL rows
-                # (torsional/rolling) additionally scale by mu_k^2
-                # (oracle-verified, tests/test_physics_extra condim probes)
-                scale = imprat
-                if k >= 3:
-                    scale = imprat * c.friction[i][k - 1] ** 2
-                r = _row(m, Jf, zero, zero, invw, c.solref[i],
-                         c.solimp[i], zero, Jf @ qvel)
-                k_, b_, imp_ = _kbi(m, c.solref[i], c.solimp[i], c.dist[i],
-                                    c.includemargin[i])
-                R = jnp.maximum((1.0 - imp_) / imp_ * invw / scale,
-                                mmath.MINVAL)
-                r.update(R=R, D=1.0 / R, aref=-b_ * (Jf @ qvel))
-                rows.append(r)
-                actives.append(act)
-                metas.append(RowMeta('con', len(con_base) - 1, k))
+                # additionally scale by mu_k^2 (oracle-verified,
+                # tests/test_physics_extra condim probes)
+                scale = jnp.broadcast_to(imprat, (C, dim - 1))
+                if dim > 3:
+                    scale = scale.at[:, 2:].mul(fric[:, 2:dim - 1] ** 2)
+                Rf = jnp.maximum(
+                    ((1.0 - imp_) / imp_ * invw)[:, None] / scale,
+                    mmath.MINVAL)
+                aref_f = -b_[:, None] * jnp.einsum('crv,v->cr', Jf, qvel)
+                Jblk = jnp.concatenate([Jn[:, None, :], Jf], axis=1)
+                Rblk = jnp.concatenate([Rn[:, None], Rf], axis=1)
+                arefblk = jnp.concatenate([aref_n[:, None], aref_f], axis=1)
+                posblk = jnp.concatenate(
+                    [dist[:, None], jnp.zeros((C, dim - 1), dtype=dtype)], 1)
+                mrgblk = jnp.concatenate(
+                    [incm[:, None], jnp.zeros((C, dim - 1), dtype=dtype)], 1)
+            else:
+                Jblk = Jn[:, None, :]
+                Rblk = Rn[:, None]
+                arefblk = aref_n[:, None]
+                posblk = dist[:, None]
+                mrgblk = incm[:, None]
+            blk = dict(
+                J=Jblk.reshape(C * dim, nv),
+                pos=posblk.reshape(C * dim),
+                margin=mrgblk.reshape(C * dim),
+                R=Rblk.reshape(C * dim), D=(1.0 / Rblk).reshape(C * dim),
+                aref=arefblk.reshape(C * dim),
+                frictionloss=jnp.zeros(C * dim, dtype=dtype),
+                active=jnp.repeat(act, dim),
+                kinds=['con'] * (C * dim))
+            con_blocks.append((dest, blk))
 
-    if not rows:
+    if not rows and not con_blocks:
         return None
 
+    # assemble: stacked pre-rows + contact blocks, restored to canonical row
+    # order with one static permutation gather
+    def field(name, pre_list):
+        parts = []
+        if pre_list:
+            parts.append(jnp.stack(pre_list))
+        parts += [blk[name] for _, blk in con_blocks]
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    dest_all = (np.concatenate([np.arange(n_pre)]
+                               + [dst for dst, _ in con_blocks])
+                if con_blocks else np.arange(n_pre))
+    perm = np.argsort(dest_all)
+
+    kinds_all = [mt.kind for mt in metas]
+    for _, blk in con_blocks:
+        kinds_all += blk["kinds"]
+    kinds_final = tuple(np.array(kinds_all, dtype=object)[perm])
+
     efc = Efc(
-        J=jnp.stack([r["J"] for r in rows]),
-        pos=jnp.stack([r["pos"] for r in rows]),
-        margin=jnp.stack([r["margin"] for r in rows]),
-        D=jnp.stack([r["D"] for r in rows]),
-        R=jnp.stack([r["R"] for r in rows]),
-        aref=jnp.stack([r["aref"] for r in rows]),
-        frictionloss=jnp.stack([r["frictionloss"] for r in rows]),
-        active=jnp.stack(actives),
-        con_base=tuple(con_base), con_dim=tuple(con_dim),
-        kinds=tuple(mt.kind for mt in metas),
-        con_mu=(jnp.stack(con_mu) if con_mu
-                else jnp.zeros((0, 5), dtype=dtype)),
-        con_active=(jnp.stack(con_act) if con_act
-                    else jnp.zeros((0,), dtype=bool)),
+        J=field("J", [r["J"] for r in rows])[perm],
+        pos=field("pos", [r["pos"] for r in rows])[perm],
+        margin=field("margin", [r["margin"] for r in rows])[perm],
+        D=field("D", [r["D"] for r in rows])[perm],
+        R=field("R", [r["R"] for r in rows])[perm],
+        aref=field("aref", [r["aref"] for r in rows])[perm],
+        frictionloss=field("frictionloss",
+                           [r["frictionloss"] for r in rows])[perm],
+        active=field("active", actives)[perm],
+        con_base=tuple(int(x) for x in con_base),
+        con_dim=tuple(int(x) for x in con_dim),
+        kinds=kinds_final,
+        con_mu=con_mu,
+        con_active=con_act,
     )
     return efc
 

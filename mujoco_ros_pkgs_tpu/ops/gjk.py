@@ -283,13 +283,16 @@ def _geom_center(m: Model, d, g: int):
 
 
 def _hull_verts(m: Model, g: int):
-    did = m.geom_dataid[g]
+    return _hull_verts_by_id(m, m.geom_dataid[g])
+
+
+def _hull_verts_by_id(m: Model, did: int):
     if did < 0:
         return None
     return m.mesh_vert[did, : m.mesh_vertnum[did]]
 
 
-def convex_pair(m: Model, d, g1: int, g2: int):
+def convex_pair(m: Model, d, g1: int, g2: int, st=None):
     """Convex narrowphase with up to 4 contacts (signature matches
     narrowphase fns: (dist[4], pos[4,3], frame[4,3,3])).
 
@@ -302,10 +305,14 @@ def convex_pair(m: Model, d, g1: int, g2: int):
     contact and could not rest flat convex shapes stably."""
     from mujoco_ros_pkgs_tpu.ops.narrowphase import _make_frame  # cycle-free
     dtype = d.qpos.dtype
-    sup1 = make_support(m.geom_type[g1], m.geom_size[g1], d.geom_xpos[g1],
-                        d.geom_xmat[g1], _hull_verts(m, g1))
-    sup2 = make_support(m.geom_type[g2], m.geom_size[g2], d.geom_xpos[g2],
-                        d.geom_xmat[g2], _hull_verts(m, g2))
+    if st is None:  # direct single-pair call: derive statics from int ids
+        st = (m.geom_type[g1], m.geom_type[g2],
+              m.geom_dataid[g1], m.geom_dataid[g2])
+    t1, t2, did1, did2 = st
+    sup1 = make_support(t1, m.geom_size[g1], d.geom_xpos[g1],
+                        d.geom_xmat[g1], _hull_verts_by_id(m, did1))
+    sup2 = make_support(t2, m.geom_size[g2], d.geom_xpos[g2],
+                        d.geom_xmat[g2], _hull_verts_by_id(m, did2))
     dist0, pos0, n = mpr(sup1, sup2, _geom_center(m, d, g1),
                          _geom_center(m, d, g2), dtype)
     frame = _make_frame(n)
@@ -335,16 +342,23 @@ def convex_pair(m: Model, d, g1: int, g2: int):
     return dist, pos, jnp.tile(frame[None], (4, 1, 1))
 
 
-def plane_convex(m: Model, d, g1: int, g2: int):
+convex_pair.vmap_safe = True
+convex_pair.needs_static = True
+
+
+def plane_convex(m: Model, d, g1: int, g2: int, st=None):
     """Plane vs convex hull (mesh): the 4 most-penetrating hull vertices
     (same pattern as the analytic plane-box routine — mjc_PlaneConvex
     likewise emits multiple support vertices)."""
-    return plane_convex_core(d.geom_xmat[g1][:, 2], d.geom_xpos[g1], m, d, g2)
+    did2 = st[3] if st is not None else m.geom_dataid[g2]
+    return plane_convex_core(d.geom_xmat[g1][:, 2], d.geom_xpos[g1], m, d, g2,
+                             did2=did2)
 
 
-def plane_convex_core(n, p0, m: Model, d, g2: int):
+def plane_convex_core(n, p0, m: Model, d, g2: int, did2=None):
     from mujoco_ros_pkgs_tpu.ops.narrowphase import _make_frame
-    verts = _hull_verts(m, g2)
+    verts = (_hull_verts(m, g2) if did2 is None
+             else _hull_verts_by_id(m, did2))
     world = d.geom_xpos[g2] + verts @ d.geom_xmat[g2].T   # (k,3)
     dists = world @ n - jnp.dot(n, p0)
     neg_d, idx = jax.lax.top_k(-dists, 4)
@@ -353,3 +367,7 @@ def plane_convex_core(n, p0, m: Model, d, g2: int):
     pos = sel - 0.5 * dsel[:, None] * n
     frame = _make_frame(n)
     return dsel, pos, jnp.tile(frame[None], (4, 1, 1))
+
+
+plane_convex.vmap_safe = True
+plane_convex.needs_static = True

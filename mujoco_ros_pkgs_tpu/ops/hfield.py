@@ -55,12 +55,13 @@ def sample_height(m: Model, hid: int, x, y):
     return z, dzdx, dzdy
 
 
-def _tangent_plane(m: Model, d, g1: int, g2: int):
+def _tangent_plane(m: Model, d, g1: int, g2: int, hid=None):
     """Local tangent plane of hfield g1 under geom g2's center.
 
     Returns (n_world, p_world, inside) — the plane normal/point in world
     coordinates and whether g2's footprint is over the field extent."""
-    hid = m.geom_dataid[g1]
+    if hid is None:
+        hid = m.geom_dataid[g1]
     R = d.geom_xmat[g1]
     p0 = d.geom_xpos[g1]
     c_local = R.T @ (d.geom_xpos[g2] - p0)
@@ -75,14 +76,19 @@ def _tangent_plane(m: Model, d, g1: int, g2: int):
     return R @ n_local, p0 + R @ s_local, inside
 
 
-def hfield_pair(m: Model, d, g1: int, g2: int):
+def hfield_pair(m: Model, d, g1: int, g2: int, st=None):
     """Narrowphase entry for (HFIELD, other); registered per other-type with
-    the matching plane capacity. Signature matches narrowphase fns."""
+    the matching plane capacity. Signature matches narrowphase fns; `st`
+    carries the static (t1, t2, dataid1, dataid2) tuple when g1/g2 are traced
+    (grouped-vmap dispatch in narrowphase.collide)."""
     from mujoco_ros_pkgs_tpu.ops import narrowphase as nphase
     from mujoco_ros_pkgs_tpu.ops import gjk
 
-    t2 = GeomType(m.geom_type[g2])
-    n, p, inside = _tangent_plane(m, d, g1, g2)
+    if st is None:
+        st = (GeomType.HFIELD, GeomType(m.geom_type[g2]),
+              m.geom_dataid[g1], m.geom_dataid[g2])
+    t2, hid, did2 = GeomType(st[1]), st[2], st[3]
+    n, p, inside = _tangent_plane(m, d, g1, g2, hid=hid)
 
     if t2 == GeomType.SPHERE:
         dist, pos, frame = nphase._plane_sphere_core(n, p, m, d, g2)
@@ -95,13 +101,17 @@ def hfield_pair(m: Model, d, g1: int, g2: int):
     elif t2 == GeomType.BOX:
         dist, pos, frame = nphase._plane_box_core(n, p, m, d, g2)
     elif t2 == GeomType.MESH:
-        dist, pos, frame = gjk.plane_convex_core(n, p, m, d, g2)
+        dist, pos, frame = gjk.plane_convex_core(n, p, m, d, g2, did2=did2)
     else:
         raise NotImplementedError(f"hfield vs {t2}")
 
     big = jnp.asarray(1e10, dtype=dist.dtype)
     dist = jnp.where(inside, dist, big)
     return dist, pos, frame
+
+
+hfield_pair.vmap_safe = True
+hfield_pair.needs_static = True
 
 
 # contact capacity per other-geom type (mirrors the plane pair table)

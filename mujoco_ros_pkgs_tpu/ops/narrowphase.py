@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -26,34 +27,6 @@ from mujoco_ros_pkgs_tpu.ops import math as mmath
 # ---------------------------------------------------------------------------
 # per-pair parameter mixing (mj_contactParam)
 # ---------------------------------------------------------------------------
-
-def _contact_param(m: Model, g1: int, g2: int):
-    p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
-    margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
-    gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
-    if p1 != p2:
-        hi = g1 if p1 > p2 else g2
-        condim = m.geom_condim[hi]
-        fri = m.geom_friction[hi]
-        solref = m.geom_solref[hi]
-        solimp = m.geom_solimp[hi]
-    else:
-        condim = max(m.geom_condim[g1], m.geom_condim[g2])
-        s1, s2 = m.geom_solmix[g1], m.geom_solmix[g2]
-        both_small = (s1 < mmath.MINVAL) & (s2 < mmath.MINVAL)
-        mix = jnp.where(both_small, 0.5,
-                        jnp.where(s1 < mmath.MINVAL, 0.0,
-                                  jnp.where(s2 < mmath.MINVAL, 1.0,
-                                            s1 / jnp.maximum(s1 + s2, mmath.MINVAL))))
-        r1, r2 = m.geom_solref[g1], m.geom_solref[g2]
-        standard = (r1[0] > 0) & (r2[0] > 0)
-        solref = jnp.where(standard, mix * r1 + (1 - mix) * r2,
-                           jnp.minimum(r1, r2))
-        solimp = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
-        fri = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
-    friction5 = jnp.stack([fri[0], fri[0], fri[1], fri[2], fri[2]])
-    return condim, friction5, solref, solimp, margin, gap
-
 
 # ---------------------------------------------------------------------------
 # geometry helpers
@@ -489,6 +462,11 @@ _DISPATCH = {
     (GeomType.BOX, GeomType.BOX): (_box_box, 4),
 }
 
+# all builtin analytic routines index m/d arrays with the geom ids only →
+# safe to vmap over (g1, g2) arrays (grouped dispatch in collide())
+for _fn, _ in _DISPATCH.values():
+    _fn.vmap_safe = True
+
 
 def _register_generic_pairs():
     """Convex pairs without dedicated analytic routines go through MPR
@@ -591,47 +569,126 @@ def empty_contact(m: Model, dtype) -> Contact:
     if not g1:
         g1, g2, dims = (-1,) * n, (-1,) * n, (3,) * n
     return Contact(
-        dist=jnp_.full((n,), 1e10, dtype=dtype),
-        pos=jnp_.zeros((n, 3), dtype=dtype),
-        frame=jnp_.tile(jnp_.eye(3, dtype=dtype), (n, 1, 1)),
-        includemargin=jnp_.zeros((n,), dtype=dtype),
-        friction=jnp_.zeros((n, 5), dtype=dtype),
-        solref=jnp_.zeros((n, 2), dtype=dtype),
-        solimp=jnp_.zeros((n, 5), dtype=dtype),
+        dist=jnp.full((n,), 1e10, dtype=dtype),
+        pos=jnp.zeros((n, 3), dtype=dtype),
+        frame=jnp.tile(jnp.eye(3, dtype=dtype), (n, 1, 1)),
+        includemargin=jnp.zeros((n,), dtype=dtype),
+        friction=jnp.zeros((n, 5), dtype=dtype),
+        solref=jnp.zeros((n, 2), dtype=dtype),
+        solimp=jnp.zeros((n, 5), dtype=dtype),
         geom1=g1, geom2=g2, dim=dims)
 
 
-def collide(m: Model, d: Data) -> Data:
-    """Run the static pair table through the narrowphase; fixed-shape output."""
-    dtype = d.qpos.dtype
-    dists: List[jax.Array] = []
-    poss, frames, incms, fris, srefs, simps = [], [], [], [], [], []
-    geom1, geom2, dims = [], [], []
+def _contact_params_vec(m: Model, g1s: np.ndarray, g2s: np.ndarray, dtype):
+    """Vectorized mj_contactParam over pair arrays (one gather program instead
+    of one traced sub-graph per pair). Priority selection is static (geom
+    priority is structural metadata); solmix/friction mixing stays traced so
+    set_geom_properties edits take effect without recompiling."""
+    pr = np.array(m.geom_priority)
+    p1, p2 = pr[g1s], pr[g2s]
+    hi = np.where(p1 > p2, g1s, g2s)
+    neq = jnp.asarray(p1 != p2)
 
+    fr1, fr2 = m.geom_friction[g1s], m.geom_friction[g2s]
+    fri_eq = jnp.maximum(fr1, fr2)
+    s1, s2 = m.geom_solmix[g1s], m.geom_solmix[g2s]
+    both_small = (s1 < mmath.MINVAL) & (s2 < mmath.MINVAL)
+    mix = jnp.where(both_small, 0.5,
+                    jnp.where(s1 < mmath.MINVAL, 0.0,
+                              jnp.where(s2 < mmath.MINVAL, 1.0,
+                                        s1 / jnp.maximum(s1 + s2,
+                                                         mmath.MINVAL))))
+    r1, r2 = m.geom_solref[g1s], m.geom_solref[g2s]
+    standard = (r1[:, 0] > 0) & (r2[:, 0] > 0)
+    solref_eq = jnp.where(standard[:, None],
+                          mix[:, None] * r1 + (1 - mix[:, None]) * r2,
+                          jnp.minimum(r1, r2))
+    solimp_eq = (mix[:, None] * m.geom_solimp[g1s]
+                 + (1 - mix[:, None]) * m.geom_solimp[g2s])
+
+    fri = jnp.where(neq[:, None], m.geom_friction[hi], fri_eq)
+    solref = jnp.where(neq[:, None], m.geom_solref[hi], solref_eq)
+    solimp = jnp.where(neq[:, None], m.geom_solimp[hi], solimp_eq)
+    margin = jnp.maximum(m.geom_margin[g1s], m.geom_margin[g2s])
+    gap = jnp.maximum(m.geom_gap[g1s], m.geom_gap[g2s])
+    friction5 = jnp.stack([fri[:, 0], fri[:, 0], fri[:, 1],
+                           fri[:, 2], fri[:, 2]], axis=1)
+    return (friction5.astype(dtype), solref.astype(dtype),
+            solimp.astype(dtype), margin.astype(dtype), gap.astype(dtype))
+
+
+def collide(m: Model, d: Data) -> Data:
+    """Run the static pair table through the narrowphase; fixed-shape output.
+
+    Pairs are GROUPED by (type1, type2, mesh/hfield dataids) and each group
+    runs its narrowphase function ONCE under vmap over the pair axis — the
+    traced graph scales with the number of distinct geom-type pairs, not with
+    the number of pairs (a contact-rich scene with hundreds of pairs compiles
+    like one with ten). Slot order stays canonical (slot_meta) via a static
+    permutation gather. Non-vmappable functions (user registrations without
+    fn.vmap_safe) fall back to per-pair calls."""
+    dtype = d.qpos.dtype
+
+    mesh_like = (GeomType.MESH, GeomType.HFIELD)
+    groups: dict = {}
+    base = 0
     for (g1, g2) in m.collision_pairs:
         t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
         fn, cap = _DISPATCH[(t1, t2)]
-        condim, friction5, solref, solimp, margin, gap = _contact_param(m, g1, g2)
-        di, po, fr = fn(m, d, g1, g2)
-        incm = (margin - gap) * jnp.ones(cap, dtype=dtype)
-        dists.append(di.astype(dtype))
-        poss.append(po.astype(dtype))
-        frames.append(fr.astype(dtype))
-        incms.append(incm)
-        fris.append(jnp.tile(friction5[None].astype(dtype), (cap, 1)))
-        srefs.append(jnp.tile(solref[None].astype(dtype), (cap, 1)))
-        simps.append(jnp.tile(solimp[None].astype(dtype), (cap, 1)))
-        geom1 += [g1] * cap
-        geom2 += [g2] * cap
-        dims += [condim] * cap
+        did1 = m.geom_dataid[g1] if t1 in mesh_like else -1
+        did2 = m.geom_dataid[g2] if t2 in mesh_like else -1
+        if getattr(fn, "vmap_safe", False):
+            key = ("g", t1, t2, did1, did2)
+        else:
+            key = ("u", g1, g2)
+        groups.setdefault(key, []).append((g1, g2, base, cap))
+        base += cap
 
+    dists, poss, frames, incms, fris, srefs, simps = ([] for _ in range(7))
+    dest: List[np.ndarray] = []
+    for key, items in groups.items():
+        g1s = np.array([it[0] for it in items])
+        g2s = np.array([it[1] for it in items])
+        cap = items[0][3]
+        dest.append(np.concatenate(
+            [np.arange(b, b + c) for (_, _, b, c) in items]))
+        friction5, solref, solimp, margin, gap = _contact_params_vec(
+            m, g1s, g2s, dtype)
+
+        if key[0] == "g":
+            t1, t2, did1, did2 = key[1], key[2], key[3], key[4]
+            fn, _ = _DISPATCH[(t1, t2)]
+            kw = ({"st": (t1, t2, did1, did2)}
+                  if getattr(fn, "needs_static", False) else {})
+            di, po, fr = jax.vmap(
+                lambda a, b: fn(m, d, a, b, **kw))(
+                    jnp.asarray(g1s), jnp.asarray(g2s))   # (P, cap, ...)
+        else:
+            g1, g2 = key[1], key[2]
+            fn, _ = _DISPATCH[(GeomType(m.geom_type[g1]),
+                               GeomType(m.geom_type[g2]))]
+            di, po, fr = fn(m, d, g1, g2)
+            di, po, fr = di[None], po[None], fr[None]
+
+        P = len(items)
+        dists.append(di.astype(dtype).reshape(P * cap))
+        poss.append(po.astype(dtype).reshape(P * cap, 3))
+        frames.append(fr.astype(dtype).reshape(P * cap, 3, 3))
+        incms.append(jnp.repeat(margin - gap, cap))
+        fris.append(jnp.repeat(friction5, cap, axis=0))
+        srefs.append(jnp.repeat(solref, cap, axis=0))
+        simps.append(jnp.repeat(solimp, cap, axis=0))
+
+    # restore canonical slot order (slot_meta order) with one static gather
+    perm = np.argsort(np.concatenate(dest))
+    geom1, geom2, dims = slot_meta(m)
     contact = Contact(
-        dist=jnp.concatenate(dists),
-        pos=jnp.concatenate(poss),
-        frame=jnp.concatenate(frames),
-        includemargin=jnp.concatenate(incms),
-        friction=jnp.concatenate(fris),
-        solref=jnp.concatenate(srefs),
-        solimp=jnp.concatenate(simps),
-        geom1=tuple(geom1), geom2=tuple(geom2), dim=tuple(dims))
+        dist=jnp.concatenate(dists)[perm],
+        pos=jnp.concatenate(poss)[perm],
+        frame=jnp.concatenate(frames)[perm],
+        includemargin=jnp.concatenate(incms)[perm],
+        friction=jnp.concatenate(fris)[perm],
+        solref=jnp.concatenate(srefs)[perm],
+        solimp=jnp.concatenate(simps)[perm],
+        geom1=geom1, geom2=geom2, dim=dims)
     return d.replace(contact=contact)

@@ -14,6 +14,8 @@ reference's noisy-topic vs _GT-topic split.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -109,14 +111,50 @@ def _site_acc(m: Model, d: Data, cacc, site: int):
 # ray casting (rangefinder)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=64)
+def _hull_faces_cached(vert_bytes: bytes, nvert: int) -> np.ndarray:
+    verts = np.frombuffer(vert_bytes, dtype=np.float64).reshape(nvert, 3)
+    from scipy.spatial import ConvexHull
+    return np.ascontiguousarray(ConvexHull(verts).simplices.astype(np.int32))
+
+
+def _hull_faces(m: Model, did: int) -> np.ndarray:
+    """Triangulated hull faces (F,3 vertex indices) of mesh `did`, computed
+    host-side once per mesh (the renderer/rangefinder needs faces; collision
+    uses only the support function over vertices)."""
+    nv = m.mesh_vertnum[did]
+    verts = np.asarray(m.mesh_vert[did, :nv], dtype=np.float64)
+    return _hull_faces_cached(verts.tobytes(), nv)
+
+
 def _ray_geom(m: Model, d: Data, g: int, origin, direction):
-    """Distance along ray to geom g, or +inf (subset: plane/sphere/capsule/box)."""
+    """Distance along ray to geom g, or +inf. Covers ALL 8 geom types
+    (reference delegates to mj_ray which likewise handles every type):
+    plane/sphere/capsule/box analytic, cylinder side+caps, ellipsoid via
+    scaled quadratic, mesh via Möller-Trumbore over hull triangles, hfield
+    via fixed-step march + bisection refinement on the bilinear surface."""
     dtype = origin.dtype
     inf = jnp.asarray(jnp.inf, dtype=dtype)
     t = d.geom_xmat[g].T @ (origin - d.geom_xpos[g])
     v = d.geom_xmat[g].T @ direction
     gt = m.geom_type[g]
     size = m.geom_size[g]
+    if gt == int(GeomType.MESH):
+        did = m.geom_dataid[g]
+        faces = _hull_faces(m, did)                       # (F,3) static
+        verts = m.mesh_vert[did, : m.mesh_vertnum[did]].astype(dtype)
+        tri = verts[faces]                                # (F,3,3)
+        return _ray_triangles(t, v, tri, inf)
+    if gt == int(GeomType.HFIELD):
+        return _ray_hfield(m, g, t, v, inf)
+    return ray_local(gt, size, t, v)
+
+
+def ray_local(gt: int, size, t, v):
+    """Ray vs analytic primitive in the geom's LOCAL frame: t = R^T(o - p),
+    v = R^T dir. Shared by geom rays and injected render markers."""
+    dtype = t.dtype
+    inf = jnp.asarray(jnp.inf, dtype=dtype)
     if gt == int(GeomType.PLANE):
         denom = v[2]
         dist = -t[2] / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
@@ -145,7 +183,99 @@ def _ray_geom(m: Model, d: Data, g: int, origin, direction):
             lo, hi = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
             tmin, tmax = jnp.maximum(tmin, lo), jnp.minimum(tmax, hi)
         return jnp.where(tmax >= tmin, tmin, inf)
+    if gt == int(GeomType.CYLINDER):
+        d_side = _ray_cylinder_side(t, v, size[0], size[1], inf)
+        # cap disks at z = ±h
+        vz = jnp.where(jnp.abs(v[2]) > 1e-12, v[2], 1e-12)
+        d_caps = inf
+        for sgn in (1.0, -1.0):
+            dc = (sgn * size[1] - t[2]) / vz
+            p = t + dc * v
+            ok = ((jnp.abs(v[2]) > 1e-12) & (dc >= 0)
+                  & (p[0] ** 2 + p[1] ** 2 <= size[0] ** 2))
+            d_caps = jnp.minimum(d_caps, jnp.where(ok, dc, inf))
+        return jnp.minimum(d_side, d_caps)
+    if gt == int(GeomType.ELLIPSOID):
+        # quadratic of the scaled-space unit sphere
+        ts, vs = t / size, v / size
+        a = jnp.dot(vs, vs)
+        b = jnp.dot(ts, vs)
+        c = jnp.dot(ts, ts) - 1.0
+        disc = b * b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        a_safe = jnp.maximum(a, 1e-12)
+        d1 = (-b - sq) / a_safe
+        d2 = (-b + sq) / a_safe
+        dist = jnp.where(d1 >= 0, d1, d2)
+        return jnp.where((disc >= 0) & (dist >= 0), dist, inf)
     return inf
+
+
+def _ray_triangles(t, v, tri, inf):
+    """Möller-Trumbore over a triangle batch (F,3,3); min positive hit."""
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    h = jnp.cross(jnp.broadcast_to(v, e2.shape), e2)
+    a = jnp.einsum('fk,fk->f', e1, h)
+    a_safe = jnp.where(jnp.abs(a) > 1e-12, a, 1e-12)
+    s = t[None, :] - v0
+    u = jnp.einsum('fk,fk->f', s, h) / a_safe
+    q = jnp.cross(s, e1)
+    w = jnp.einsum('k,fk->f', v, q) / a_safe
+    dist = jnp.einsum('fk,fk->f', e2, q) / a_safe
+    ok = ((jnp.abs(a) > 1e-12) & (u >= 0) & (w >= 0) & (u + w <= 1)
+          & (dist >= 0))
+    return jnp.min(jnp.where(ok, dist, inf))
+
+
+_HF_MARCH_STEPS = 64
+_HF_REFINE_STEPS = 10
+
+
+def _ray_hfield(m: Model, g: int, t, v, inf):
+    """Ray vs bilinear height field: clip the ray to the field's AABB, march
+    fixed steps to bracket the first surface crossing, bisect to refine.
+    Fixed trip counts — vmap/TPU friendly (the exact prism-walk of mj_ray is
+    data-dependent)."""
+    from mujoco_ros_pkgs_tpu.ops import hfield as hf
+    dtype = t.dtype
+    hid = m.geom_dataid[g]
+    size = m.hfield_size[hid].astype(dtype)   # rx, ry, top, bottom
+
+    # AABB of the field volume: x ±rx, y ±ry, z in [-bottom, top]
+    lo = jnp.stack([-size[0], -size[1], -size[3]])
+    hi = jnp.stack([size[0], size[1], size[2]])
+    tmin, tmax = jnp.asarray(0.0, dtype), jnp.asarray(1e9, dtype)
+    for ax in range(3):
+        va = jnp.where(jnp.abs(v[ax]) > 1e-12, v[ax], 1e-12)
+        t1 = (lo[ax] - t[ax]) / va
+        t2 = (hi[ax] - t[ax]) / va
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+    miss_box = tmax < tmin
+
+    def above(s):     # ray point at param s is above the surface?
+        p = t + s * v
+        z, _, _ = hf.sample_height(m, hid, p[0], p[1])
+        return p[2] >= z
+
+    ss = tmin + (tmax - tmin) * jnp.linspace(0.0, 1.0, _HF_MARCH_STEPS
+                                             ).astype(dtype)
+    below = ~jax.vmap(above)(ss)
+    first = jnp.argmax(below)                 # first sample below surface
+    hit_march = jnp.any(below) & ~above(ss[0])  # started below: hit at entry
+    any_cross = jnp.any(below)
+    s_lo = jnp.where(first > 0, ss[jnp.maximum(first - 1, 0)], ss[0])
+    s_hi = ss[first]
+    for _ in range(_HF_REFINE_STEPS):
+        mid = 0.5 * (s_lo + s_hi)
+        ab = above(mid)
+        s_lo = jnp.where(ab, mid, s_lo)
+        s_hi = jnp.where(ab, s_hi, mid)
+    dist = jnp.where(hit_march, ss[0], 0.5 * (s_lo + s_hi))
+    ok = any_cross & ~miss_box
+    return jnp.where(ok, dist, inf)
 
 
 def _ray_sphere(t, v, r, inf):

@@ -26,30 +26,45 @@ from mujoco_ros_pkgs_tpu.ops import math as mmath
 # static topology helpers (host-side, trace-time)
 # ---------------------------------------------------------------------------
 
-def dof_ancestor_mask(m: Model) -> np.ndarray:
-    """mask[i, j] = 1 if dof j is on the ancestor chain of dof i (inclusive)."""
-    nv = m.nv
+import functools
+
+
+@functools.lru_cache(maxsize=128)
+def _dof_ancestor_mask(dof_parentid, nv) -> np.ndarray:
     mask = np.zeros((nv, nv), dtype=bool)
     for i in range(nv):
         j = i
         while j >= 0:
             mask[i, j] = True
-            j = m.dof_parentid[j]
+            j = dof_parentid[j]
+    return mask
+
+
+def dof_ancestor_mask(m: Model) -> np.ndarray:
+    """mask[i, j] = 1 if dof j is on the ancestor chain of dof i (inclusive).
+    Memoized on the static topology tuples (called per trace, not per model)."""
+    return _dof_ancestor_mask(m.dof_parentid, m.nv)
+
+
+@functools.lru_cache(maxsize=128)
+def _body_dof_mask(body_parentid, body_dofnum, body_dofadr, nv) -> np.ndarray:
+    nbody = len(body_parentid)
+    mask = np.zeros((nv, nbody), dtype=bool)
+    for b in range(nbody):
+        bid = b
+        while bid != 0:
+            if body_dofnum[bid]:
+                adr = body_dofadr[bid]
+                for k in range(body_dofnum[bid]):
+                    mask[adr + k, b] = True
+            bid = body_parentid[bid]
     return mask
 
 
 def body_dof_mask(m: Model) -> np.ndarray:
-    """mask[j, b] = 1 if dof j affects body b (dof's body is ancestor of b)."""
-    mask = np.zeros((m.nv, m.nbody), dtype=bool)
-    for b in range(m.nbody):
-        bid = b
-        while bid != 0:
-            if m.body_dofnum[bid]:
-                adr = m.body_dofadr[bid]
-                for k in range(m.body_dofnum[bid]):
-                    mask[adr + k, b] = True
-            bid = m.body_parentid[bid]
-    return mask
+    """mask[j, b] = 1 if dof j affects body b (dof's body is ancestor of b).
+    Memoized on the static topology tuples."""
+    return _body_dof_mask(m.body_parentid, m.body_dofnum, m.body_dofadr, m.nv)
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,14 @@ class MujocoPlugin:
     def on_geom_changed(self, m: Model, geom_id: int) -> None:
         """Reference: onGeomChanged (plugin_utils.h:135)."""
 
+    # -- render hook (renderCallback, plugin_utils.h:97-135): called before
+    # offscreen streams render. Return a list of RenderMarker to inject
+    # visual-only geoms into the rendered scene (the reference's plugins add
+    # mjvGeoms to the scene the same way); return None/[] for none. --
+    def render_callback(self, m: Model, d_batched: Data,
+                        sim_time: float) -> Optional[list]:
+        return None
+
 
 class PluginRegistry:
     """Ordered plugin set with quarantine semantics (plugin_utils.cpp:83-112).
@@ -136,3 +144,14 @@ class PluginRegistry:
                 out.append(nps)
             return d, tuple(out)
         return hook
+
+    def run_render_callbacks(self, m: Model, d_batched: Data,
+                             sim_time: float) -> list:
+        """runRenderCbs fan-out (callbacks.cpp:145-150): collect visual
+        markers contributed by plugins for the next offscreen render."""
+        markers = []
+        for p in self.cb_ready:
+            out = p.render_callback(m, d_batched, sim_time)
+            if out:
+                markers.extend(out)
+        return markers

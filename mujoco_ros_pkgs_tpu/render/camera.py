@@ -20,9 +20,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from flax import struct
+
 from mujoco_ros_pkgs_tpu.core.types import Data, Model
 from mujoco_ros_pkgs_tpu.ops import math as mmath
-from mujoco_ros_pkgs_tpu.ops.sensor_impl import _ray_geom
+from mujoco_ros_pkgs_tpu.ops.sensor_impl import _ray_geom, ray_local
+
+
+@struct.dataclass
+class RenderMarker:
+    """Visual-only geom injected into a render (the reference's renderCallback
+    lets plugins add mjvGeoms to the scene, plugin_utils.h:97-135). Analytic
+    primitive types only (PLANE/SPHERE/CAPSULE/CYLINDER/ELLIPSOID/BOX)."""
+    pos: jax.Array                                   # (3,)
+    size: jax.Array                                  # (3,)
+    rgba: jax.Array                                  # (4,)
+    mat: jax.Array = None                            # (3,3); None = identity
+    gtype: int = struct.field(pytree_node=False, default=2)  # GeomType.SPHERE
 
 
 def cam_pose(m: Model, d: Data, cam_id: int):
@@ -41,11 +55,16 @@ def camera_intrinsics(m: Model, cam_id: int, width: int, height: int):
                 width=width, height=height)
 
 
-def render(m: Model, d: Data, cam_id: int, width: int = 64, height: int = 64):
+def render(m: Model, d: Data, cam_id: int, width: int = 720,
+           height: int = 480, markers: Tuple[RenderMarker, ...] = ()):
     """Render one env's camera: returns (rgb (H,W,3) f32 0..1,
     depth (H,W) metric, seg (H,W) int32 geom id, -1 = background).
 
-    Pure jnp — jit/vmap over envs for batched streams."""
+    Pure jnp — see render_batched for the vmapped multi-env path. Shading is
+    Lambert with a headlight at the camera: the surface normal is recovered
+    type-independently from the screen-space derivatives of the hit-point
+    field (cross of dP/dx, dP/dy), so every geom type the ray caster covers
+    (all 8) is shaded without per-type normal code."""
     dtype = d.qpos.dtype
     pos, R = cam_pose(m, d, cam_id)
     fovy = m.cam_fovy[cam_id].astype(dtype) * (jnp.pi / 180.0)
@@ -72,6 +91,16 @@ def render(m: Model, d: Data, cam_id: int, width: int = 64, height: int = 64):
             hit = t < best_t
             best_t = jnp.where(hit, t, best_t)
             best_g = jnp.where(hit, jnp.asarray(g, dtype=jnp.int32), best_g)
+        for k, mk in enumerate(markers):    # injected visual-only geoms
+            mat = (jnp.eye(3, dtype=dtype) if mk.mat is None
+                   else mk.mat.astype(dtype))
+            tl = mat.T @ (pos - mk.pos.astype(dtype))
+            vl = mat.T @ direction
+            t = ray_local(mk.gtype, mk.size.astype(dtype), tl, vl)
+            hit = t < best_t
+            best_t = jnp.where(hit, t, best_t)
+            best_g = jnp.where(hit, jnp.asarray(m.ngeom + k, jnp.int32),
+                               best_g)
         return best_t, best_g
 
     t, seg = jax.vmap(trace_one)(dirs)
@@ -79,15 +108,35 @@ def render(m: Model, d: Data, cam_id: int, width: int = 64, height: int = 64):
     zcomp = -dirs_cam.reshape(-1, 3)[:, 2]
     depth = jnp.where(jnp.isinf(t), 0.0, t * norms.reshape(-1) * zcomp)
 
-    # flat shading: albedo from geom rgba, headlight along the view direction
-    albedo = jnp.concatenate([m.geom_rgba[:, :3].astype(dtype),
-                              jnp.array([[0.2, 0.3, 0.4]], dtype=dtype)])
-    base = albedo[jnp.where(seg < 0, m.ngeom, seg)]
-    shade = jnp.where(seg < 0, 1.0, 1.0)
-    # cheap diffuse cue: darken with depth
-    atten = jnp.where(seg < 0, 1.0, 1.0 / (1.0 + 0.04 * depth))
-    rgb = base * (shade * atten)[:, None]
+    # surface normals from screen-space hit-point derivatives
+    t_img = jnp.where(jnp.isinf(t), 0.0, t).reshape(height, width)
+    P = pos[None, None, :] + t_img[:, :, None] * dirs.reshape(height, width, 3)
+    dPdx = jnp.diff(P, axis=1, append=P[:, -1:, :])
+    dPdy = jnp.diff(P, axis=0, append=P[-1:, :, :])
+    nrm = jnp.cross(dPdx, dPdy)
+    nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / jnp.maximum(nlen, 1e-12)
 
-    return (rgb.reshape(height, width, 3),
-            depth.reshape(height, width),
-            seg.reshape(height, width))
+    # Lambert with headlight: light direction = view direction
+    view = dirs.reshape(height, width, 3)
+    lambert = jnp.abs(jnp.einsum('hwk,hwk->hw', nrm, view))
+    shade = 0.35 + 0.65 * lambert                      # ambient + diffuse
+
+    parts = [m.geom_rgba[:, :3].astype(dtype)]
+    parts += [mk.rgba[:3].astype(dtype)[None] for mk in markers]
+    parts.append(jnp.array([[0.2, 0.3, 0.4]], dtype=dtype))  # background
+    albedo = jnp.concatenate(parts)
+    bg = m.ngeom + len(markers)
+    seg_img = seg.reshape(height, width)
+    base = albedo[jnp.where(seg_img < 0, bg, seg_img)]
+    shade = jnp.where(seg_img < 0, 1.0, shade)
+    rgb = jnp.clip(base * shade[:, :, None], 0.0, 1.0)
+
+    return rgb, depth.reshape(height, width), seg_img
+
+
+def render_batched(m: Model, d_batched: Data, cam_id: int, width: int = 720,
+                   height: int = 480, markers: Tuple[RenderMarker, ...] = ()):
+    """vmap(render) over the env batch axis: (N,H,W,3), (N,H,W), (N,H,W)."""
+    return jax.vmap(lambda dd: render(m, dd, cam_id, width, height,
+                                      markers))(d_batched)

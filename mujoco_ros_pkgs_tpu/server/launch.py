@@ -42,7 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ctrl-noise-std", type=float, default=0.0)
     ap.add_argument("--ctrl-noise-rate", type=float, default=0.0)
     ap.add_argument("--config", default="",
-                    help="YAML/JSON config: initial joint states, plugins")
+                    help="YAML/JSON config: initial joint states, plugins, "
+                         "cam_config/<name>/{stream_type,frequency,width,"
+                         "height,use_segid,env_ids,png_dir}")
+    ap.add_argument("--png-dir", default="",
+                    help="dump every camera stream's frames as PNGs here "
+                         "(the viewer screenshot path, viewer.cpp:2231-2245)")
     ap.add_argument("--f32", action="store_true",
                     help="compute in float32 (TPU throughput mode)")
     ap.add_argument("--verbose", action="store_true")
@@ -92,11 +97,19 @@ def make_plugins(cfg: dict):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import os
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # some TPU plugins ignore the env var; the config override is binding
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     from mujoco_ros_pkgs_tpu.server import MujocoServer
 
     cfg = load_config(args.config)
     model = args.modelfile
+    cam_config = dict(cfg.get("cam_config", {}))
+    if args.png_dir:   # "*" = defaults applied to every camera
+        cam_config.setdefault("*", {})["png_dir"] = args.png_dir
     srv = MujocoServer(
         model, nenv=args.nenv, eval_mode=args.eval_mode,
         admin_hash=args.admin_hash, unpause=args.unpause,
@@ -106,6 +119,7 @@ def main(argv=None) -> int:
         plugins=make_plugins(cfg),
         ctrl_noise_std=args.ctrl_noise_std,
         ctrl_noise_rate=args.ctrl_noise_rate,
+        cam_config=cam_config,
         dtype=jnp.float32 if args.f32 else None)
 
     stop = {"flag": False}

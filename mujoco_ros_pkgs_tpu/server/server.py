@@ -81,6 +81,7 @@ class MujocoServer:
                  initial_joint_velocities: Optional[dict] = None,
                  plugins: Sequence[MujocoPlugin] = (),
                  ctrl_noise_std: float = 0.0, ctrl_noise_rate: float = 0.0,
+                 cam_config: Optional[dict] = None,
                  dtype=None):
         if eval_mode and not admin_hash:
             # mujoco_env.cpp:92-105: eval mode requires an admin hash
@@ -108,6 +109,9 @@ class MujocoServer:
 
         self.registry = PluginRegistry()
         self._pending_plugins = list(plugins)
+        self._cam_config = dict(cam_config or {})
+        # static TF registry (registerStaticTransform, mujoco_env.cpp:178-195)
+        self._static_tf: Dict[str, tuple] = {}
 
         self._model_source = model
         self._load_model(model)
@@ -146,6 +150,21 @@ class MujocoServer:
         self.pstates = self._broadcast_pstates(
             self.registry.init_states(m, self.nenv))
         self._step_cache: Dict[int, Callable] = {}
+
+        # offscreen camera streams (the reference wires rendering into its
+        # physics loop, mujoco_env.cpp:501-516; here streams render between
+        # step batches). Per-camera <cam>_link / <cam>_optical_frame static
+        # TFs are registered like offscreen_camera.cpp:95-120.
+        from mujoco_ros_pkgs_tpu.render.offscreen import OffscreenRenderManager
+        self.render_manager = (OffscreenRenderManager(m, self._cam_config)
+                               if m.ncam else None)
+        for ci, cname in enumerate(m.cam_names):
+            self.register_static_transform(
+                f"{cname}_link", f"{cname}_optical_frame",
+                pos=(0.0, 0.0, 0.0),
+                # optical frame: z forward, x right, y down (REP-103)
+                quat=(0.5, -0.5, 0.5, -0.5))
+
         self._status = STATUS_RUNNING
         self._load_error = ""
 
@@ -246,6 +265,7 @@ class MujocoServer:
                 left -= chunk
             jax.block_until_ready(self.d.qpos)
             self._publish_clock()
+        self._render_offscreen()
         return StepResult(success=True)
 
     # -- Step ACTION (async, with feedback + preemption; callbacks.cpp:94-129)
@@ -380,6 +400,17 @@ class MujocoServer:
         for cb in self._clock_subs:
             cb(t)
 
+    def _render_offscreen(self):
+        """Render camera streams between step batches (the reference's
+        render handshake inside physicsLoop, mujoco_env.cpp:501-516), after
+        running plugin render callbacks (runRenderCbs, callbacks.cpp:145-150)."""
+        if self.render_manager is None:
+            return
+        markers = self.registry.run_render_callbacks(self.m, self.d,
+                                                     self.sim_time)
+        self.render_manager.render_all(self.m, self.d, self.sim_time,
+                                       markers=markers)
+
     def subscribe_clock(self, cb: Callable[[float], None]):
         """In-process /clock topic (publishSimTime, mujoco_env.cpp:699-714)."""
         self._clock_subs.append(cb)
@@ -422,6 +453,7 @@ class MujocoServer:
                 if self.num_steps_until_exit > 0:
                     self.num_steps_until_exit -= chunk
             self._publish_clock()
+            self._render_offscreen()
             elapsed_cpu = _time.perf_counter() - cpu_start
             elapsed_sim = self.sim_time - sim_start
             if elapsed_cpu > 0:
@@ -826,3 +858,162 @@ class MujocoServer:
             self._init_jv = dict(velocities)
             self._apply_initial_joint_states()
         return ServiceResult(True, "")
+
+    # ------------------------------------------------------------------
+    # static TF registry (registerStaticTransform, mujoco_env.cpp:178-195;
+    # per-camera frames offscreen_camera.cpp:95-120)
+    # ------------------------------------------------------------------
+
+    def register_static_transform(self, parent: str, child: str,
+                                  pos=(0.0, 0.0, 0.0),
+                                  quat=(1.0, 0.0, 0.0, 0.0)) -> None:
+        """Register a static parent->child transform (pos, wxyz quat)."""
+        self._static_tf[child] = (parent, np.asarray(pos, dtype=np.float64),
+                                  np.asarray(quat, dtype=np.float64))
+
+    def static_transforms(self) -> dict:
+        """All registered static transforms: child -> (parent, pos, quat)."""
+        return dict(self._static_tf)
+
+    def lookup_transform(self, child: str):
+        """(parent, pos, quat) of a registered static frame, or None."""
+        return self._static_tf.get(child)
+
+    def camera_frames(self, env_id: int = 0) -> dict:
+        """World pose of every camera's <cam>_link frame for one env (the
+        reference broadcasts these as TF; offscreen_camera.cpp:95-120)."""
+        from mujoco_ros_pkgs_tpu.render import camera as rcam
+        from mujoco_ros_pkgs_tpu.ops import math as mmath_
+        d1 = jax.tree_util.tree_map(lambda x: x[env_id], self.d)
+        out = {}
+        for ci, name in enumerate(self.m.cam_names):
+            pos, R = rcam.cam_pose(self.m, d1, ci)
+            out[f"{name}_link"] = (np.asarray(pos),
+                                   np.asarray(mmath_.mat_to_quat(R)))
+        return out
+
+    # ------------------------------------------------------------------
+    # headless viewer replacements (the GLFW viewer's deliverables without a
+    # GUI: screenshot, force perturbation, model save, solver stats —
+    # viewer.h:86-324)
+    # ------------------------------------------------------------------
+
+    def screenshot(self, cam_name: str = "", path: str = "", env_id: int = 0,
+                   width: int = 720, height: int = 480) -> ServiceResult:
+        """Render one camera of one env and write a PNG (the viewer's
+        lodepng screenshot path, viewer.cpp:2231-2245). Empty cam_name uses
+        the first model camera."""
+        from mujoco_ros_pkgs_tpu.render import camera as rcam
+        from mujoco_ros_pkgs_tpu.utils import png
+        if self.m.ncam == 0:
+            return ServiceResult(False, "model has no cameras")
+        if not cam_name:
+            cam_name = self.m.cam_names[0]
+        try:
+            cid = self.m.cam_names.index(cam_name)
+        except ValueError:
+            return ServiceResult(False, f"no camera named '{cam_name}'")
+        with self._lock:
+            d1 = jax.tree_util.tree_map(lambda x: x[env_id], self.d)
+            rgb, depth, seg = jax.jit(
+                lambda dd: rcam.render(self.m, dd, cid, width, height))(d1)
+        if path:
+            png.write(path, np.asarray(rgb))
+        return ServiceResult(True, path or "rendered (no path given)")
+
+    def apply_body_wrench(self, name: str, force=(0.0, 0.0, 0.0),
+                          torque=(0.0, 0.0, 0.0), env_id: Optional[int] = None,
+                          admin_hash: str = "") -> ServiceResult:
+        """Set a persistent external wrench on a body (world frame, at the
+        body CoM) — the headless ApplyForcePerturbations (viewer.h:86-324,
+        mouse perturbation writes xfrc_applied the same way). env_id None
+        applies to every env; wrench persists until cleared."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        try:
+            b = self.m.body(name)
+        except ValueError:
+            return ServiceResult(False, f"no body named '{name}'")
+        wrench = np.concatenate([np.asarray(force, dtype=np.float64),
+                                 np.asarray(torque, dtype=np.float64)])
+        with self._lock:
+            xf = np.array(self.d.xfrc_applied)
+            if env_id is None:
+                xf[:, b, :] = wrench
+            else:
+                xf[env_id, b, :] = wrench
+            self.d = self.d.replace(
+                xfrc_applied=jnp.asarray(xf, dtype=self.d.qpos.dtype))
+        return ServiceResult(True, "")
+
+    def clear_body_wrenches(self, admin_hash: str = "") -> ServiceResult:
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        with self._lock:
+            self.d = self.d.replace(
+                xfrc_applied=jnp.zeros_like(self.d.xfrc_applied))
+        return ServiceResult(True, "")
+
+    def save_xml(self, path: str, admin_hash: str = "") -> ServiceResult:
+        """Save the current model XML (viewer save_xml, viewer.h:169-177)."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        src = self._model_source
+        if "<" not in src:               # path: re-read the file contents
+            try:
+                with open(src) as f:
+                    src = f.read()
+            except OSError as exc:
+                return ServiceResult(False, str(exc))
+        try:
+            with open(path, "w") as f:
+                f.write(src)
+        except OSError as exc:
+            return ServiceResult(False, str(exc))
+        return ServiceResult(True, path)
+
+    def save_mjb(self, path: str, admin_hash: str = "") -> ServiceResult:
+        """Save the model as MuJoCo binary .mjb (viewer save_mjb) via the
+        libmujoco compiler (the reference calls mj_saveModel)."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        try:
+            import mujoco
+        except ImportError:
+            return ServiceResult(False, "mujoco (pip) unavailable for mjb io")
+        src = self._model_source
+        try:
+            mm = (mujoco.MjModel.from_xml_string(src) if "<" in src
+                  else mujoco.MjModel.from_xml_path(src))
+            mujoco.mj_saveModel(mm, path, None)
+        except Exception as exc:
+            return ServiceResult(False, f"mjb save failed: {exc}")
+        return ServiceResult(True, path)
+
+    def get_solver_stats(self, env_id: int = 0) -> dict:
+        """Solver/contact diagnostics — the data behind the viewer's profiler
+        figures (figconstraint/figcost/figtimer, viewer.h:267-271), exported
+        as a dict instead of an mjvFigure."""
+        with self._lock:
+            c = self.d.contact
+            dist = np.asarray(c.dist[env_id])
+            incm = np.asarray(c.includemargin[env_id])
+            active = dist < incm
+            fc = np.asarray(self.d.efc_force_contact[env_id])
+            qfc = np.asarray(self.d.qfrc_constraint[env_id])
+            return {
+                "ncon_capacity": int(dist.shape[0]),
+                "ncon_active": int(active.sum()),
+                "max_penetration": float(max(0.0, -(dist.min()))
+                                         if dist.size else 0.0),
+                "efc_force_max": float(np.abs(fc).max()) if fc.size else 0.0,
+                "qfrc_constraint_norm": float(np.linalg.norm(qfc)),
+                "measured_slowdown": float(self.measured_slowdown),
+                "sim_time": self.sim_time,
+                "solver_iterations_limit": int(self.m.opt.iterations),
+                "nefc": int(fc.shape[0]),
+            }
