@@ -428,6 +428,11 @@ class Model:
     pair_exclude: Tuple[Tuple[int, int], ...] = _static(default=())   # body ids
     pair_explicit: Tuple[Tuple[int, int], ...] = _static(default=())  # geom ids
     collision_mode: str = _static(default="all")
+    # broadphase compaction: narrowphase groups with more than pair_topk
+    # pairs run an in-graph AABB/bounding-sphere sweep and only the top-k
+    # most-overlapping pairs hit the narrowphase (0 = every static pair runs,
+    # the reference behavior). See ops/broadphase.py.
+    pair_topk: int = _static(default=0)
 
     def astype(self, dtype) -> "Model":
         """Cast all floating-point arrays to dtype (e.g. f32 for TPU throughput)."""
@@ -473,6 +478,10 @@ class Contact:
     geom1: Tuple[int, ...] = _static(default=())
     geom2: Tuple[int, ...] = _static(default=())
     dim: Tuple[int, ...] = _static(default=())   # condim per slot
+    # broadphase-compacted groups (m.pair_topk > 0) carry TRACED geom ids:
+    # slots whose static geom1 is the -2 sentinel read their pair from
+    # dyn_pair[j] (j = slot's rank among dynamic slots). (ndyn, 2) int32.
+    dyn_pair: jax.Array = None
 
 
 @struct.dataclass

@@ -136,3 +136,36 @@ ARM7 = """
   </actuator>
 </mujoco>
 """
+
+# contact-rich manipulation arena: 12 free bodies (boxes/spheres/capsules) in
+# a walled bin — BASELINE config 5's scene shape (dozens of simultaneous
+# contacts, ~90 collision pairs/env). Used by the contact-rich benchmark and
+# the broadphase tests.
+_PILE_BODIES = "\n".join(
+    f"""    <body name="pb{i}" pos="{0.22*(i%4)-0.33:.2f} {0.22*(i//4)-0.22:.2f} {0.12+0.11*i:.2f}">
+      <freejoint/>
+      <geom name="pg{i}" type="{t}" size="{s}" mass="0.3"
+            friction="0.8 0.005 0.0001"/>
+    </body>"""
+    for i, (t, s) in enumerate(
+        [("box", "0.05 0.045 0.04"), ("sphere", "0.05"),
+         ("capsule", "0.04 0.05"), ("box", "0.055 0.05 0.035"),
+         ("sphere", "0.045"), ("capsule", "0.035 0.06"),
+         ("box", "0.05 0.04 0.05"), ("sphere", "0.055"),
+         ("box", "0.045 0.05 0.045"), ("capsule", "0.045 0.045"),
+         ("sphere", "0.04"), ("box", "0.04 0.055 0.05")]))
+
+PILE = f"""
+<mujoco model="pile_bench">
+  <option timestep="0.002" gravity="0 0 -9.81" cone="elliptic" iterations="12"/>
+  <compiler angle="radian"/>
+  <worldbody>
+    <geom name="ground" type="plane" size="2 2 1"/>
+    <geom name="wall_xp" type="box" pos="0.55 0 0.15" size="0.02 0.6 0.15"/>
+    <geom name="wall_xm" type="box" pos="-0.55 0 0.15" size="0.02 0.6 0.15"/>
+    <geom name="wall_yp" type="box" pos="0 0.55 0.15" size="0.6 0.02 0.15"/>
+    <geom name="wall_ym" type="box" pos="0 -0.55 0.15" size="0.6 0.02 0.15"/>
+{_PILE_BODIES}
+  </worldbody>
+</mujoco>
+"""

@@ -403,7 +403,13 @@ def make_efc(m: Model, d: Data) -> Efc:
     if (m.ncon_max and not (m.opt.disableflags
                             & (DisableBit.CONSTRAINT | DisableBit.CONTACT))):
         c = d.contact
-        slots = [i for i in range(len(c.geom1)) if c.geom1[i] >= 0]
+        # -1 = empty-model sentinel; -2 = broadphase-compacted slot whose
+        # (traced) pair lives in c.dyn_pair[rank]
+        slots = [i for i in range(len(c.geom1)) if c.geom1[i] != -1]
+        dyn_rank = {}
+        for i in range(len(c.geom1)):
+            if c.geom1[i] == -2:
+                dyn_rank[i] = len(dyn_rank)
         # canonical row base per slot (row order identical to the unrolled
         # assembly: slots in contact order, rows contiguous per slot)
         bases, rb = [], n_pre
@@ -428,13 +434,20 @@ def make_efc(m: Model, d: Data) -> Efc:
 
         by_dim: dict = {}
         for k, i in enumerate(slots):
-            by_dim.setdefault(int(c.dim[i]), []).append((k, i))
-        for dim, items in sorted(by_dim.items()):
+            by_dim.setdefault((int(c.dim[i]), c.geom1[i] == -2),
+                              []).append((k, i))
+        for (dim, is_dyn), items in sorted(by_dim.items()):
             ks = np.array([k for k, _ in items])
             idx = np.array([i for _, i in items])      # contact slot ids
             C = len(idx)
-            b1 = gb[np.array([c.geom1[i] for i in idx])]
-            b2 = gb[np.array([c.geom2[i] for i in idx])]
+            if is_dyn:
+                ranks = np.array([dyn_rank[i] for i in idx])
+                gbj = jnp.asarray(gb)
+                b1 = gbj[c.dyn_pair[ranks, 0]]         # traced body ids
+                b2 = gbj[c.dyn_pair[ranks, 1]]
+            else:
+                b1 = gb[np.array([c.geom1[i] for i in idx])]
+                b2 = gb[np.array([c.geom2[i] for i in idx])]
             pos = c.pos[idx]                           # (C,3)
             frame = c.frame[idx]                       # (C,3,3) rows n,t1,t2
             dist = c.dist[idx]
@@ -446,10 +459,17 @@ def make_efc(m: Model, d: Data) -> Efc:
             invw = (m.body_invweight0[b1, 0]
                     + m.body_invweight0[b2, 0]).astype(dtype)
 
-            # batched point-jacobian differences (one einsum program per dim)
+            # batched point-jacobian differences (one einsum program per dim);
+            # static body ids constant-fold the mask/root gathers, traced
+            # (broadphase-compacted) ids turn them into runtime gathers
             def _jacs(bs):
-                mask = jnp.asarray(bdmask[:, bs].T[:, :, None], dtype=dtype)
-                ref = d.subtree_com[rootid[bs]]        # (C,3)
+                if isinstance(bs, np.ndarray):
+                    mask = jnp.asarray(bdmask[:, bs].T[:, :, None],
+                                       dtype=dtype)
+                    ref = d.subtree_com[rootid[bs]]    # (C,3)
+                else:
+                    mask = jnp.asarray(bdmask.T, dtype=dtype)[bs][:, :, None]
+                    ref = d.subtree_com[jnp.asarray(rootid)[bs]]
                 off = pos - ref                        # (C,3)
                 jacp = (d.cdof[None, :, 3:]
                         + jnp.cross(d.cdof[None, :, :3],
@@ -621,22 +641,16 @@ def row_layout(m: Model):
                 nrow += 1
     if (m.ncon_max and not (m.opt.disableflags
                             & (DisableBit.CONSTRAINT | DisableBit.CONTACT))):
-        from mujoco_ros_pkgs_tpu.ops.narrowphase import PAIR_NCON
-        from mujoco_ros_pkgs_tpu.core.types import GeomType
+        from mujoco_ros_pkgs_tpu.ops.narrowphase import slot_meta
         pyramidal = m.opt.cone == 0
-        for (g1, g2) in m.collision_pairs:
-            t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
-            cap = PAIR_NCON[(t1, t2)]
-            dim = max(m.geom_condim[g1], m.geom_condim[g2])
-            if m.geom_priority[g1] != m.geom_priority[g2]:
-                dim = (m.geom_condim[g1]
-                       if m.geom_priority[g1] > m.geom_priority[g2]
-                       else m.geom_condim[g2])
+        # slot_meta is the single source for the slot layout (it accounts for
+        # broadphase top-k compaction, ops/broadphase.py)
+        _, _, dims = slot_meta(m)
+        for dim in dims:
             nrows_per = (2 * (dim - 1) if (pyramidal and dim > 1) else dim)
-            for _ in range(cap):
-                con_bases.append(nrow)
-                con_nrows.append(nrows_per)
-                nrow += nrows_per
+            con_bases.append(nrow)
+            con_nrows.append(nrows_per)
+            nrow += nrows_per
     return dict(eq=eq_bases, fri=fri_bases, lim_jnt=lim_jnt, lim_ten=lim_ten,
                 con=con_bases, con_nrows=con_nrows,
                 pyramidal=(m.opt.cone == 0), nrow=nrow)

@@ -542,28 +542,109 @@ def unregister_collision_function(t1: GeomType, t2: GeomType) -> None:
 PAIR_NCON = {k: cap for k, (fn, cap) in _DISPATCH.items()}
 
 
-def slot_meta(m: Model):
-    """Static (geom1, geom2, condim) tuples for every contact slot, in the
-    exact order collide() emits them. Shared by make_data so that the empty
-    contact set has identical pytree structure to a computed one (scan/carry
-    structure stability)."""
-    geom1, geom2, dims = [], [], []
+def _pair_condim(m: Model, g1: int, g2: int) -> int:
+    p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+    if p1 != p2:
+        return int(m.geom_condim[g1 if p1 > p2 else g2])
+    return int(max(m.geom_condim[g1], m.geom_condim[g2]))
+
+
+def pair_groups(m: Model):
+    """Narrowphase groups + the static slot layout, shared by slot_meta /
+    collide / broadphase so they agree exactly.
+
+    Each group dict: key, g1s/g2s (np int arrays, all pairs of the group),
+    cap (contacts per pair), condim (uniform, only meaningful when
+    compacted), topk (0 = every pair runs narrowphase into per-pair static
+    slots; K > 0 = top-k compaction into K*cap DYNAMIC slots), bases
+    (per-pair static slot base, uncompacted) or dyn_base/dyn_rank
+    (compacted). Groups with m.pair_topk > 0 additionally key on condim so
+    compacted slots have one static dim."""
+    from mujoco_ros_pkgs_tpu.ops import broadphase as bp
+
+    mesh_like = (GeomType.MESH, GeomType.HFIELD)
+    topk = int(m.pair_topk)
+    groups: dict = {}
+    order = []
     for (g1, g2) in m.collision_pairs:
         t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
-        cap = PAIR_NCON[(t1, t2)]
-        p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
-        if p1 != p2:
-            condim = m.geom_condim[g1 if p1 > p2 else g2]
+        fn, cap = _DISPATCH[(t1, t2)]
+        did1 = m.geom_dataid[g1] if t1 in mesh_like else -1
+        did2 = m.geom_dataid[g2] if t2 in mesh_like else -1
+        if getattr(fn, "vmap_safe", False):
+            key = ("g", t1, t2, did1, did2,
+                   _pair_condim(m, g1, g2) if topk else -1)
         else:
-            condim = max(m.geom_condim[g1], m.geom_condim[g2])
-        geom1 += [g1] * cap
-        geom2 += [g2] * cap
-        dims += [condim] * cap
-    return tuple(geom1), tuple(geom2), tuple(dims)
+            key = ("u", g1, g2)
+        if key not in groups:
+            groups[key] = dict(key=key, pairs=[], cap=cap)
+            order.append(key)
+        groups[key]["pairs"].append((g1, g2))
+
+    out = []
+    pair_grp: dict = {}
+    for key in order:
+        grp = groups[key]
+        pairs = grp["pairs"]
+        compact = (topk and key[0] == "g" and len(pairs) > topk
+                   and bp.compactable(key[1], key[2]))
+        grp["topk"] = topk if compact else 0
+        grp["g1s"] = np.array([p[0] for p in pairs])
+        grp["g2s"] = np.array([p[1] for p in pairs])
+        grp["condim"] = key[5] if key[0] == "g" else _pair_condim(m, *pairs[0])
+        for p in pairs:
+            pair_grp[p] = grp
+        out.append(grp)
+    # uncompacted slots first, in collision_pairs order (identical layout to
+    # the pre-broadphase framework when pair_topk == 0); dynamic blocks after
+    base = 0
+    pair_base: dict = {}
+    for (g1, g2) in m.collision_pairs:
+        grp = pair_grp[(g1, g2)]
+        if grp["topk"]:
+            continue
+        pair_base[(g1, g2)] = base
+        base += grp["cap"]
+    dyn_rank = 0
+    for grp in out:
+        if grp["topk"]:
+            grp["dyn_base"] = base
+            grp["dyn_rank"] = dyn_rank
+            base += grp["topk"] * grp["cap"]
+            dyn_rank += grp["topk"] * grp["cap"]
+        else:
+            grp["bases"] = np.array([pair_base[p] for p in grp["pairs"]])
+    return out
+
+
+def slot_meta(m: Model):
+    """Static (geom1, geom2, condim) tuples for every contact slot, in the
+    exact order collide() emits them. Dynamic (broadphase-compacted) slots
+    carry the -2 sentinel: their geom pair is Contact.dyn_pair[rank].
+    Shared by make_data so that the empty contact set has identical pytree
+    structure to a computed one (scan/carry structure stability)."""
+    slots: dict = {}
+    for grp in pair_groups(m):
+        cap = grp["cap"]
+        if grp["topk"]:
+            for j in range(grp["topk"] * cap):
+                slots[grp["dyn_base"] + j] = (-2, -2, grp["condim"])
+            continue
+        for (g1, g2), b in zip(grp["pairs"], grp["bases"]):
+            condim = _pair_condim(m, g1, g2)
+            for j in range(cap):
+                slots[b + j] = (g1, g2, condim)
+    geom1 = tuple(slots[i][0] for i in range(len(slots)))
+    geom2 = tuple(slots[i][1] for i in range(len(slots)))
+    dims = tuple(slots[i][2] for i in range(len(slots)))
+    return geom1, geom2, dims
+
+
+def n_dyn_slots(m: Model) -> int:
+    return sum(g["topk"] * g["cap"] for g in pair_groups(m) if g["topk"])
 
 
 def empty_contact(m: Model, dtype) -> Contact:
-    import jax.numpy as jnp_
     g1, g2, dims = slot_meta(m)
     n = max(len(g1), 1)
     if not g1:
@@ -576,18 +657,27 @@ def empty_contact(m: Model, dtype) -> Contact:
         friction=jnp.zeros((n, 5), dtype=dtype),
         solref=jnp.zeros((n, 2), dtype=dtype),
         solimp=jnp.zeros((n, 5), dtype=dtype),
-        geom1=g1, geom2=g2, dim=dims)
+        geom1=g1, geom2=g2, dim=dims,
+        dyn_pair=jnp.zeros((n_dyn_slots(m), 2), dtype=jnp.int32))
 
 
-def _contact_params_vec(m: Model, g1s: np.ndarray, g2s: np.ndarray, dtype):
+def _contact_params_vec(m: Model, g1s, g2s, dtype):
     """Vectorized mj_contactParam over pair arrays (one gather program instead
-    of one traced sub-graph per pair). Priority selection is static (geom
-    priority is structural metadata); solmix/friction mixing stays traced so
-    set_geom_properties edits take effect without recompiling."""
+    of one traced sub-graph per pair). With static (numpy) pair indices the
+    priority selection constant-folds; broadphase-compacted groups pass
+    TRACED indices and everything becomes gathers. solmix/friction mixing
+    stays traced either way so set_geom_properties edits take effect without
+    recompiling."""
     pr = np.array(m.geom_priority)
-    p1, p2 = pr[g1s], pr[g2s]
-    hi = np.where(p1 > p2, g1s, g2s)
-    neq = jnp.asarray(p1 != p2)
+    if isinstance(g1s, np.ndarray):
+        p1, p2 = pr[g1s], pr[g2s]
+        hi = np.where(p1 > p2, g1s, g2s)
+        neq = jnp.asarray(p1 != p2)
+    else:
+        prj = jnp.asarray(pr)
+        p1, p2 = prj[g1s], prj[g2s]
+        hi = jnp.where(p1 > p2, g1s, g2s)
+        neq = p1 != p2
 
     fr1, fr2 = m.geom_friction[g1s], m.geom_friction[g2s]
     fri_eq = jnp.maximum(fr1, fr2)
@@ -626,32 +716,35 @@ def collide(m: Model, d: Data) -> Data:
     the number of pairs (a contact-rich scene with hundreds of pairs compiles
     like one with ten). Slot order stays canonical (slot_meta) via a static
     permutation gather. Non-vmappable functions (user registrations without
-    fn.vmap_safe) fall back to per-pair calls."""
-    dtype = d.qpos.dtype
+    fn.vmap_safe) fall back to per-pair calls.
 
-    mesh_like = (GeomType.MESH, GeomType.HFIELD)
-    groups: dict = {}
-    base = 0
-    for (g1, g2) in m.collision_pairs:
-        t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
-        fn, cap = _DISPATCH[(t1, t2)]
-        did1 = m.geom_dataid[g1] if t1 in mesh_like else -1
-        did2 = m.geom_dataid[g2] if t2 in mesh_like else -1
-        if getattr(fn, "vmap_safe", False):
-            key = ("g", t1, t2, did1, did2)
-        else:
-            key = ("u", g1, g2)
-        groups.setdefault(key, []).append((g1, g2, base, cap))
-        base += cap
+    When m.pair_topk > 0, oversized groups are broadphase-compacted: a
+    bounding-volume separation score over all pairs + lax.top_k pick the K
+    most-overlapping pairs, and only those run narrowphase, into dynamic
+    slots carrying traced geom ids (ops/broadphase.py)."""
+    from mujoco_ros_pkgs_tpu.ops import broadphase as bp
+
+    dtype = d.qpos.dtype
 
     dists, poss, frames, incms, fris, srefs, simps = ([] for _ in range(7))
     dest: List[np.ndarray] = []
-    for key, items in groups.items():
-        g1s = np.array([it[0] for it in items])
-        g2s = np.array([it[1] for it in items])
-        cap = items[0][3]
-        dest.append(np.concatenate(
-            [np.arange(b, b + c) for (_, _, b, c) in items]))
+    dyn_pairs: List[jax.Array] = []
+    for grp in pair_groups(m):
+        key, cap, P = grp["key"], grp["cap"], len(grp["pairs"])
+        if grp["topk"]:
+            K = grp["topk"]
+            sep = bp.pair_scores(m, d, grp["g1s"], grp["g2s"], key[1])
+            _, sel = jax.lax.top_k(-sep, K)               # K most-overlapping
+            g1s = jnp.asarray(grp["g1s"], dtype=jnp.int32)[sel]
+            g2s = jnp.asarray(grp["g2s"], dtype=jnp.int32)[sel]
+            dyn_pairs.append(jnp.stack(
+                [jnp.repeat(g1s, cap), jnp.repeat(g2s, cap)], axis=1))
+            dest.append(np.arange(grp["dyn_base"], grp["dyn_base"] + K * cap))
+            P = K
+        else:
+            g1s, g2s = grp["g1s"], grp["g2s"]
+            dest.append(np.concatenate(
+                [np.arange(b, b + cap) for b in grp["bases"]]))
         friction5, solref, solimp, margin, gap = _contact_params_vec(
             m, g1s, g2s, dtype)
 
@@ -670,7 +763,6 @@ def collide(m: Model, d: Data) -> Data:
             di, po, fr = fn(m, d, g1, g2)
             di, po, fr = di[None], po[None], fr[None]
 
-        P = len(items)
         dists.append(di.astype(dtype).reshape(P * cap))
         poss.append(po.astype(dtype).reshape(P * cap, 3))
         frames.append(fr.astype(dtype).reshape(P * cap, 3, 3))
@@ -682,6 +774,9 @@ def collide(m: Model, d: Data) -> Data:
     # restore canonical slot order (slot_meta order) with one static gather
     perm = np.argsort(np.concatenate(dest))
     geom1, geom2, dims = slot_meta(m)
+    # dynamic blocks are already emitted in dyn_rank order (pair_groups order)
+    dyn_pair = (jnp.concatenate(dyn_pairs) if dyn_pairs
+                else jnp.zeros((0, 2), dtype=jnp.int32))
     contact = Contact(
         dist=jnp.concatenate(dists)[perm],
         pos=jnp.concatenate(poss)[perm],
@@ -690,5 +785,5 @@ def collide(m: Model, d: Data) -> Data:
         friction=jnp.concatenate(fris)[perm],
         solref=jnp.concatenate(srefs)[perm],
         solimp=jnp.concatenate(simps)[perm],
-        geom1=geom1, geom2=geom2, dim=dims)
+        geom1=geom1, geom2=geom2, dim=dims, dyn_pair=dyn_pair)
     return d.replace(contact=contact)

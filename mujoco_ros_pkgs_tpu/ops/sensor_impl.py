@@ -528,7 +528,18 @@ def sensor_acc(m: Model, d: Data) -> Data:
             body = m.site_bodyid[oid]
             total = jnp.zeros((), dtype=d.qpos.dtype)
             c = d.contact
+            rank = 0
+            gb = jnp.asarray(np.array(m.geom_bodyid))
             for ci in range(len(c.geom1)):
+                if c.geom1[ci] == -2:
+                    # broadphase-compacted slot: traced membership test
+                    db1 = gb[c.dyn_pair[rank, 0]]
+                    db2 = gb[c.dyn_pair[rank, 1]]
+                    rank += 1
+                    hit = (db1 == body) | (db2 == body)
+                    total = total + jnp.where(
+                        hit, _contact_normal_force(m, d, ci), 0.0)
+                    continue
                 if c.geom1[ci] < 0:
                     continue
                 b1 = m.geom_bodyid[c.geom1[ci]]

@@ -55,10 +55,13 @@ def available() -> bool:
 
 
 def supports(efc, nv: int) -> bool:
-    """Diagonal rows + elliptic cone groups of condim 1/3 (the default
-    contact configuration). condim 4/6 (torsional/rolling rows) and very
-    large systems keep the reference jnp path."""
-    return (all(dim in (1, 3) for dim in efc.con_dim)
+    """Diagonal rows + elliptic cone groups of condim 1/3/4/6 (4/6 add the
+    torsional/rolling tangential components — same Moreau-envelope cone
+    model, generalized σ per component). Very large systems keep the
+    reference jnp path: the kernel unrolls feature loops, so its Mosaic
+    program grows with nefc·nv — beyond nv=16 the dense-matmul jnp path is
+    the better TPU program (MXU-tiled batched Cholesky) anyway."""
+    return (all(dim in (1, 3, 4, 6) for dim in efc.con_dim)
             and 1 <= len(efc.kinds) <= 128 and nv <= 16)
 
 
@@ -66,14 +69,16 @@ def supports(efc, nv: int) -> bool:
 # kernel body (all shapes static; env tile = (8, 128))
 # ---------------------------------------------------------------------------
 
-def _row_forces(kinds, con_rows, con_base, con_mu0, D_r, floss_r, act_r,
+def _row_forces(kinds, con_rows, con_base, con_sig, D_r, floss_r, act_r,
                 jar_r, want_w):
     """Forces for every efc row on (8,128) env tiles.
 
     Diagonal rows ('eq'/'fri'/'lim' and dim-1 'con') produce per-row weights
-    w; elliptic condim-3 cone groups produce a symmetric 3x3 Hessian block
-    per contact (dict keyed (k,l), k>=l) — exactly the model in
-    ops/solver.py:_forces_and_weights, unrolled per contact.
+    w; elliptic cone groups (condim 3/4/6) produce a symmetric dim×dim
+    Hessian block per contact (dict keyed (k,l), k>=l) — exactly the model
+    in ops/solver.py:_forces_and_weights, unrolled per contact. `con_sig` is
+    the per-contact σ of each tangential component ((ncon,5) tiles:
+    [μ0, μ0, μ_tor, μ_roll1, μ_roll2], ops/solver.py:117-123).
 
     Returns (f_rows, w_rows, cost_tiles, Wcon list)."""
     nefc = len(kinds)

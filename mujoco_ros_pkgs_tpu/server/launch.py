@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "(the viewer screenshot path, viewer.cpp:2231-2245)")
     ap.add_argument("--f32", action="store_true",
                     help="compute in float32 (TPU throughput mode)")
+    ap.add_argument("--pair-topk", type=int, default=0,
+                    help="broadphase top-k compaction: oversized narrowphase "
+                         "groups only run their K most-overlapping pairs "
+                         "(0 = exact static pair table; see "
+                         "ops/broadphase.py and the broadphase_overflow "
+                         "solver stat)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--profile-dir", default="",
                     help="write a jax.profiler trace of the run here "
@@ -120,6 +126,7 @@ def main(argv=None) -> int:
         ctrl_noise_std=args.ctrl_noise_std,
         ctrl_noise_rate=args.ctrl_noise_rate,
         cam_config=cam_config,
+        pair_topk=args.pair_topk,
         dtype=jnp.float32 if args.f32 else None)
 
     stop = {"flag": False}

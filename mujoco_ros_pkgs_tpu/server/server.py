@@ -82,6 +82,7 @@ class MujocoServer:
                  plugins: Sequence[MujocoPlugin] = (),
                  ctrl_noise_std: float = 0.0, ctrl_noise_rate: float = 0.0,
                  cam_config: Optional[dict] = None,
+                 pair_topk: int = 0,
                  dtype=None):
         if eval_mode and not admin_hash:
             # mujoco_env.cpp:92-105: eval mode requires an admin hash
@@ -90,6 +91,9 @@ class MujocoServer:
         self._admin_hash = admin_hash
         self.nenv = int(nenv)
         self.dtype = dtype
+        # broadphase top-k compaction knob (ops/broadphase.py; 0 = exact
+        # static pair table, the reference-equivalent behavior)
+        self.pair_topk = int(pair_topk)
         self._status = STATUS_LOAD_REQUESTED
         self._load_error = ""
         self.paused = not unpause
@@ -122,9 +126,11 @@ class MujocoServer:
 
     def _compile(self, source: str) -> Model:
         if "<" in source:   # XML string (the reference's VFS string path)
-            m = mjcf.load_model_from_string(source, dtype=self.dtype)
+            m = mjcf.load_model_from_string(source, dtype=self.dtype,
+                                            pair_topk=self.pair_topk)
         else:
-            m = mjcf.load_model(source, dtype=self.dtype)
+            m = mjcf.load_model(source, dtype=self.dtype,
+                                pair_topk=self.pair_topk)
         return m
 
     def _load_model(self, source: str):
@@ -1016,4 +1022,15 @@ class MujocoServer:
                 "sim_time": self.sim_time,
                 "solver_iterations_limit": int(self.m.opt.iterations),
                 "nefc": int(fc.shape[0]),
+                # pairs the broadphase top-k compaction dropped while their
+                # bounding volumes overlapped (0 = contact set exact;
+                # raise pair_topk if this is ever positive)
+                "broadphase_overflow": self._broadphase_overflow(env_id),
             }
+
+    def _broadphase_overflow(self, env_id: int) -> int:
+        if not self.m.pair_topk:
+            return 0
+        from mujoco_ros_pkgs_tpu.ops import broadphase as bp
+        d1 = jax.tree_util.tree_map(lambda x: x[env_id], self.d)
+        return int(bp.candidate_overflow(self.m, d1))
