@@ -202,7 +202,10 @@ def bench_scaling_cpu():
     from mujoco_ros_pkgs_tpu.ops import forward as fwd
     from mujoco_ros_pkgs_tpu.parallel import multihost as mh
 
-    cpus = jax.local_devices(backend="cpu")
+    try:
+        cpus = jax.local_devices(backend="cpu")
+    except RuntimeError:
+        return None
     if len(cpus) < 2:
         return None
     nenv, nsub, rounds = 4096, 20, 3
@@ -264,11 +267,12 @@ def bench_scaling_cpu():
 
 def main():
     import jax
-    if os.environ.get("JAX_PLATFORMS"):
-        # some TPU plugins ignore the env var; the config override is binding
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    cpu = jax.local_devices(backend="cpu")[0]
+    from mujoco_ros_pkgs_tpu.utils import backend
+    backend.ensure_cpu_backend()
+    cpu = backend.cpu_device()
     accel = jax.devices()[0]
+    if cpu is None:
+        cpu = accel  # no host backend registered: compile on the accelerator
     extras = {"device": str(accel.platform)}
 
     rate2, compile2 = bench_config2(cpu, accel)

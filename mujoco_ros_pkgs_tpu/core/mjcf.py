@@ -597,11 +597,11 @@ def load_model_from_string(xml: str, dtype=None, base_dir: str = ".",
 
     Compilation always runs on CPU: it is eager host-side math, and remote
     accelerator backends (the axon tunnel) pay one RPC per eager op."""
-    import jax
+    from mujoco_ros_pkgs_tpu.utils import backend
     root = ET.fromstring(xml)
     if root.tag != "mujoco":
         raise ValueError(f"expected <mujoco> root, got <{root.tag}>")
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    with backend.cpu_default_device():
         m = _compile(root, base_dir)
         if pair_topk:
             m = m.replace(pair_topk=int(pair_topk))

@@ -219,23 +219,24 @@ def _solve_dispatch_tpu(m: Model, d: Data, efc: Efc) -> Data:
     warmstart = not (m.opt.disableflags & DisableBit.WARMSTART)
     nv = m.nv
 
-    # per-contact friction coefficient (sigma for both tangents, dim-3 cones)
-    mu0 = (efc.con_mu[:, 0] if efc.con_mu is not None and len(efc.con_base)
-           else jnp.zeros((0,), dtype=efc.J.dtype))
+    # per-contact friction 5-vector: the kernel derives the per-component
+    # sigma [mu0, mu0, mu_tor, mu_roll1, mu_roll2] (condim 3/4/6)
+    mu = (efc.con_mu if efc.con_mu is not None and len(efc.con_base)
+          else jnp.zeros((0, 5), dtype=efc.J.dtype))
 
     # NOTE: the base function must not close over batched tracers (d/efc) —
     # custom_vmap lifts closure constants into implicit batched inputs and
     # fails. Both paths call the kernel; the unbatched base pays block padding.
     @jax.custom_batching.custom_vmap
-    def _f(J, aref, D, floss, active, mu0, tol, M, a_s, ws):
+    def _f(J, aref, D, floss, active, mu, tol, M, a_s, ws):
         x, qf, frows = solver_tpu.solve_batched(
             kinds, con_base, nv, niter, nls, tol, warmstart,
             J[None], aref[None], D[None], floss[None], active[None],
-            mu0[None], M[None], a_s[None], ws[None])
+            mu[None], M[None], a_s[None], ws[None])
         return x[0], qf[0], frows[0]
 
     @_f.def_vmap
-    def _rule(axis_size, in_batched, J, aref, D, floss, active, mu0, tol, M,
+    def _rule(axis_size, in_batched, J, aref, D, floss, active, mu, tol, M,
               a_s, ws):
         def bcast(x, b):
             return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
@@ -244,12 +245,12 @@ def _solve_dispatch_tpu(m: Model, d: Data, efc: Efc) -> Data:
         x, qf, frows = solver_tpu.solve_batched(
             kinds, con_base, nv, niter, nls, tol0, warmstart,
             bcast(J, bJ), bcast(aref, baref), bcast(D, bD), bcast(floss, bfl),
-            bcast(active, bact), bcast(mu0, bmu), bcast(M, bM),
+            bcast(active, bact), bcast(mu, bmu), bcast(M, bM),
             bcast(a_s, bas), bcast(ws, bws))
         return (x, qf, frows), (True, True, True)
 
     x, qfrc, frows = _f(efc.J, efc.aref, efc.D, efc.frictionloss,
-                        efc.active, mu0, m.opt.tolerance, d.qM,
+                        efc.active, mu, m.opt.tolerance, d.qM,
                         d.qacc_smooth, d.qacc_warmstart)
     return d.replace(qacc=x, qfrc_constraint=qfrc, efc_force_contact=frows,
                      qacc_warmstart=x)

@@ -69,16 +69,18 @@ def supports(efc, nv: int) -> bool:
 # kernel body (all shapes static; env tile = (8, 128))
 # ---------------------------------------------------------------------------
 
-def _row_forces(kinds, con_rows, con_base, con_sig, D_r, floss_r, act_r,
+def _row_forces(kinds, con_rows, con_base, con_mu, D_r, floss_r, act_r,
                 jar_r, want_w):
     """Forces for every efc row on (8,128) env tiles.
 
     Diagonal rows ('eq'/'fri'/'lim' and dim-1 'con') produce per-row weights
     w; elliptic cone groups (condim 3/4/6) produce a symmetric dim×dim
     Hessian block per contact (dict keyed (k,l), k>=l) — exactly the model
-    in ops/solver.py:_forces_and_weights, unrolled per contact. `con_sig` is
-    the per-contact σ of each tangential component ((ncon,5) tiles:
-    [μ0, μ0, μ_tor, μ_roll1, μ_roll2], ops/solver.py:117-123).
+    in ops/solver.py:_forces_and_weights, unrolled per contact. `con_mu` is
+    the per-contact friction 5-vector as tiles (`con_mu[ci][k]`, MuJoCo
+    ordering [μ_t1, μ_t2, μ_tor, μ_roll1, μ_roll2]); the tangential σ per
+    component is [μ0, μ0, μ_tor, μ_roll1, μ_roll2] exactly as in
+    ops/solver.py:117-123.
 
     Returns (f_rows, w_rows, cost_tiles, Wcon list)."""
     nefc = len(kinds)
@@ -130,54 +132,70 @@ def _row_forces(kinds, con_rows, con_base, con_sig, D_r, floss_r, act_r,
             cost.append(jnp.where(gate, 0.5 * D * jar * jar, 0.0))
             Wcon.append(None)
             continue
-        # ---- elliptic condim-3 cone (ops/solver.py:112-173, dim=3) ----
-        u0, u1, u2 = jar_r[base], jar_r[base + 1], jar_r[base + 2]
-        Dn, D1, D2 = D_r[base], D_r[base + 1], D_r[base + 2]
-        s = jnp.maximum(con_mu0[ci], mmath.MINVAL)
-        P_n = -Dn * u0
-        P1, P2 = -D1 * u1, -D2 * u2
-        ph1, ph2 = P1 / s, P2 / s
-        Dh1, Dh2 = D1 / (s * s), D2 / (s * s)
-        T = jnp.sqrt(jnp.maximum(ph1 * ph1 + ph2 * ph2, mmath.MINVAL ** 2))
+        # ---- elliptic cone, generalized dim ∈ {3,4,6} (ops/solver.py:112-173):
+        # scaled space h_k = f_k/σ_k, σ = [μ0, μ0, μ_tor, μ_roll1, μ_roll2];
+        # middle-zone closed form with D̄ = mean(D̂) ----
+        nt = dim - 1
+        mu_c = con_mu[ci]
+        sig = [jnp.maximum(mu_c[0], mmath.MINVAL)] * min(2, nt) + [
+            jnp.maximum(mu_c[k], mmath.MINVAL) for k in range(2, nt)]
+        u = [jar_r[base + k] for k in range(dim)]
+        Dv = [D_r[base + k] for k in range(dim)]
+        Dn = Dv[0]
+        P_n = -Dn * u[0]
+        P_t = [-Dv[1 + k] * u[1 + k] for k in range(nt)]
+        ph = [P_t[k] / sig[k] for k in range(nt)]
+        Dh = [Dv[1 + k] / (sig[k] * sig[k]) for k in range(nt)]
+        T = jnp.sqrt(jnp.maximum(sum(p * p for p in ph), mmath.MINVAL ** 2))
         inside = T <= P_n
-        Dbar = 0.5 * (Dh1 + Dh2)
+        Dbar = sum(Dh) / nt
         fn_mid = (P_n / Dn + T / Dbar) / (1.0 / Dn + 1.0 / Dbar)
         polar = fn_mid <= 0.0
         f_n = jnp.where(inside, P_n, jnp.where(polar, 0.0, fn_mid))
-        dir1, dir2 = ph1 / T, ph2 / T
-        h1 = jnp.where(inside, ph1, jnp.where(polar, 0.0, fn_mid * dir1))
-        h2 = jnp.where(inside, ph2, jnp.where(polar, 0.0, fn_mid * dir2))
-        f1, f2 = s * h1, s * h2
+        dirs = [p / T for p in ph]
+        ft = [sig[k] * jnp.where(inside, ph[k],
+                                 jnp.where(polar, 0.0, fn_mid * dirs[k]))
+              for k in range(nt)]
         f_n = jnp.where(act, f_n, 0.0)
-        f1 = jnp.where(act, f1, 0.0)
-        f2 = jnp.where(act, f2, 0.0)
-        f[base], f[base + 1], f[base + 2] = f_n, f1, f2
+        ft = [jnp.where(act, t, 0.0) for t in ft]
+        f[base] = f_n
+        for k in range(nt):
+            f[base + 1 + k] = ft[k]
         # cost: 0.5 uᵀDu − 0.5 (P−f)ᵀR(P−f), R = 1/D
-        c = (0.5 * (Dn * u0 * u0 + D1 * u1 * u1 + D2 * u2 * u2)
-             - 0.5 * ((P_n - f_n) ** 2 / Dn + (P1 - f1) ** 2 / D1
-                      + (P2 - f2) ** 2 / D2))
+        Pfull = [P_n] + P_t
+        ffull = [f_n] + ft
+        c = (0.5 * sum(Dv[k] * u[k] * u[k] for k in range(dim))
+             - 0.5 * sum((Pfull[k] - ffull[k]) ** 2 / Dv[k]
+                         for k in range(dim)))
         cost.append(jnp.where(act, c, 0.0))
         if not want_w:
             Wcon.append(None)
             continue
         A = Dn * Dbar / (Dn + Dbar)
         btt = fn_mid * Dbar / T
+        # W_tt = σσᵀ ∘ [btt·(I − ddᵀ) + A·ddᵀ] = σσᵀ ∘ [btt·δ + (A−btt)·ddᵀ]
         W = {}
         W[(0, 0)] = A
-        W[(1, 0)] = A * s * dir1
-        W[(2, 0)] = A * s * dir2
-        W[(1, 1)] = s * s * (btt * (1.0 - dir1 * dir1) + A * dir1 * dir1)
-        W[(2, 1)] = s * s * ((A - btt) * dir1 * dir2)
-        W[(2, 2)] = s * s * (btt * (1.0 - dir2 * dir2) + A * dir2 * dir2)
+        for k in range(nt):
+            W[(k + 1, 0)] = A * sig[k] * dirs[k]
+        for k in range(nt):
+            for l in range(k + 1):
+                dd = dirs[k] * dirs[l]
+                wt = (A - btt) * dd
+                if k == l:
+                    wt = wt + btt
+                W[(k + 1, l + 1)] = sig[k] * sig[l] * wt
         # bottom zone: full diag quadratic; polar zone / inactive: zero
-        full = {(0, 0): Dn, (1, 1): D1, (2, 2): D2,
-                (1, 0): jnp.zeros_like(Dn), (2, 0): jnp.zeros_like(Dn),
-                (2, 1): jnp.zeros_like(Dn)}
         zero = jnp.zeros_like(Dn)
-        for k in W:
-            wv = jnp.where(inside, full[k], W[k])
+        full = {}
+        for i in range(dim):
+            full[(i, i)] = Dv[i]
+            for j in range(i):
+                full[(i, j)] = zero
+        for key in W:
+            wv = jnp.where(inside, full[key], W[key])
             wv = jnp.where(polar, zero, wv)
-            W[k] = jnp.where(act, wv, zero)
+            W[key] = jnp.where(act, wv, zero)
         Wcon.append(W)
     return f, w, cost, Wcon
 
@@ -222,7 +240,7 @@ def _make_kernel(nv: int, kinds: Tuple[str, ...],
     for base, dim in con_base:
         con_rows.update(range(base, base + dim))
 
-    def kernel(tol_ref, J_ref, aref_ref, D_ref, floss_ref, act_ref, mu0_ref,
+    def kernel(tol_ref, J_ref, aref_ref, D_ref, floss_ref, act_ref, mu_ref,
                M_ref, a_s_ref, ws_ref, x_ref, qf_ref, frow_ref):
         tol = tol_ref[0, 0]
         # feature-indexed views; each slice is one (8,128) vreg
@@ -231,7 +249,8 @@ def _make_kernel(nv: int, kinds: Tuple[str, ...],
         D = [D_ref[r] for r in range(nefc)]
         floss = [floss_ref[r] for r in range(nefc)]
         act = [act_ref[r] > 0.5 for r in range(nefc)]
-        mu0 = [mu0_ref[c] for c in range(max(ncon, 1))]
+        mu = [[mu_ref[c * 5 + k] for k in range(5)]
+              for c in range(max(ncon, 1))]
         M = {}
         for i in range(nv):
             for j in range(i + 1):
@@ -259,7 +278,7 @@ def _make_kernel(nv: int, kinds: Tuple[str, ...],
             return out
 
         def forces(jar, want_w):
-            return _row_forces(kinds, con_rows, con_base, mu0, D, floss, act,
+            return _row_forces(kinds, con_rows, con_base, mu, D, floss, act,
                                jar, want_w)
 
         def cost_at(x):
@@ -306,15 +325,15 @@ def _make_kernel(nv: int, kinds: Tuple[str, ...],
             for (base, dim), W in zip(con_base, Wcon):
                 if W is None:
                     continue
-                def Wget(k, l):
+                def Wget(k, l, W=W):
                     return W[(k, l)] if k >= l else W[(l, k)]
                 # JW[k][i] = Σ_l W[k,l] * Jc[l,i]
-                JW = [[sum(Wget(k, l) * J[base + l][i] for l in range(3))
-                       for i in range(nv)] for k in range(3)]
+                JW = [[sum(Wget(k, l) * J[base + l][i] for l in range(dim))
+                       for i in range(nv)] for k in range(dim)]
                 for i in range(nv):
                     for j in range(i + 1):
                         s = H[(i, j)]
-                        for k in range(3):
+                        for k in range(dim):
                             s = s + J[base + k][i] * JW[k][j]
                         H[(i, j)] = s
             dx = _chol_solve(H, [-g for g in grad], nv)
@@ -344,10 +363,10 @@ def _make_kernel(nv: int, kinds: Tuple[str, ...],
                 for (base, dim), W in zip(con_base, Wca):
                     if W is None:
                         continue
-                    def Wget(k, l):
+                    def Wget(k, l, W=W):
                         return W[(k, l)] if k >= l else W[(l, k)]
-                    for k in range(3):
-                        for l in range(3):
+                    for k in range(dim):
+                        for l in range(dim):
                             d2 = d2 + v_ls[base + k] * Wget(k, l) * v_ls[base + l]
                 return d1, d2
 
@@ -409,7 +428,7 @@ def _to_tiles(x, B):
 def solve_batched(kinds: Tuple[str, ...],
                   con_base: Tuple[Tuple[int, int], ...],
                   nv: int, niter: int, nls: int, tol, warmstart: bool,
-                  J, aref, D, floss, active, mu0, M, a_s, ws):
+                  J, aref, D, floss, active, mu, M, a_s, ws):
     """Run the fused solve on a (B, ...) batch.
 
     Returns (qacc (B,nv), qfrc (B,nv), f_rows (B,nefc))."""
@@ -430,14 +449,14 @@ def solve_batched(kinds: Tuple[str, ...],
             x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,) + feat_shape)])
         return _to_tiles(x, B)
 
-    if mu0.shape[-1] == 0:
-        mu0 = jnp.zeros((B0, 1), dtype=dtype)
+    if mu.shape[-2] == 0:
+        mu = jnp.zeros((B0, 1, 5), dtype=dtype)
     J_t = prep(J, (nefc * nv,))
     aref_t = prep(aref, (nefc,))
     D_t = prep(D, (nefc,))
     floss_t = prep(floss, (nefc,))
     act_t = prep(active.astype(dtype), (nefc,))
-    mu0_t = prep(mu0, (ncon,))
+    mu_t = prep(mu, (ncon * 5,))
     M_t = prep(M.reshape(B0, nv * nv), (nv * nv,))
     a_s_t = prep(a_s, (nv,))
     ws_t = prep(ws, (nv,))
@@ -459,12 +478,13 @@ def solve_batched(kinds: Tuple[str, ...],
         in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
                   spec(nefc * nv), spec(nefc), spec(nefc), spec(nefc),
-                  spec(nefc), spec(ncon), spec(nv * nv), spec(nv), spec(nv)],
+                  spec(nefc), spec(ncon * 5), spec(nv * nv), spec(nv),
+                  spec(nv)],
         out_specs=[spec(nv), spec(nv), spec(nefc)],
         out_shape=[jax.ShapeDtypeStruct((nv, B // 128, 128), dtype),
                    jax.ShapeDtypeStruct((nv, B // 128, 128), dtype),
                    jax.ShapeDtypeStruct((nefc, B // 128, 128), dtype)],
-    )(tol_s, J_t, aref_t, D_t, floss_t, act_t, mu0_t, M_t, a_s_t, ws_t)
+    )(tol_s, J_t, aref_t, D_t, floss_t, act_t, mu_t, M_t, a_s_t, ws_t)
 
     def untile(x, feat):
         return x.reshape(feat, B).T[:B0]

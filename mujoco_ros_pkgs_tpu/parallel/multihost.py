@@ -180,7 +180,8 @@ def shardmap_step_fn(m: Model, mesh: Mesh, nsub: int = 1,
             def tag(x):
                 missing = tuple(a for a in axes
                                 if a not in jax.typeof(x).vma)
-                return jax.lax.pvary(x, missing) if missing else x
+                return (jax.lax.pcast(x, missing, to="varying")
+                        if missing else x)
             d = jax.tree_util.tree_map(tag, d)
             return d, None
         d, _ = jax.lax.scan(body, d, None, length=nsub)
@@ -269,3 +270,86 @@ def gather_to_host(arr) -> np.ndarray:
     if jax.process_count() <= 1:
         return np.asarray(arr)
     return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
+def local_shard_np(arr) -> np.ndarray:
+    """This process's contiguous slice of a batch-sharded array as numpy
+    (addressable shards concatenated in global order). Collective-free."""
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0))
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
+def scatter_from_host(np_arr: np.ndarray, mesh: Mesh, dtype=None):
+    """Re-shard a GLOBAL numpy array over the mesh batch spec: every process
+    passes the identical global array and contributes its local slice
+    (jax.make_array_from_process_local_data). Inverse of gather_to_host —
+    the write half of control-plane state surgery on sharded batches."""
+    sharding = NamedSharding(mesh, BATCH_SPEC)
+    np_arr = np.asarray(np_arr, dtype=dtype)
+    nproc = max(jax.process_count(), 1)
+    nenv = np_arr.shape[0]
+    per = nenv // nproc
+    lo = jax.process_index() * per
+    local = np_arr[lo:lo + per]
+    return jax.make_array_from_process_local_data(
+        sharding, local, np_arr.shape)
+
+
+def broadcast_obj(obj=None):
+    """Broadcast an arbitrary picklable object from process 0 to all hosts.
+
+    The control-plane fan-out the ROS graph gave the reference for free
+    (every node sees the same service call): process 0 originates a
+    (service-name, args) tuple, every follower receives it and executes the
+    identical mutation on its shard of the batch. Two collectives: length,
+    then the padded payload bytes."""
+    import pickle
+    from jax.experimental import multihost_utils
+    if jax.process_count() <= 1:
+        return obj
+    if jax.process_index() == 0:
+        data = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    else:
+        data = np.zeros(0, dtype=np.uint8)
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.array([data.size], dtype=np.int64))[0])
+    buf = np.zeros(n, dtype=np.uint8)
+    buf[:data.size] = data
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return pickle.loads(buf.tobytes())
+
+
+def shardmap_hooked_step(m: Model, mesh: Mesh, nsub: int, one_env: Callable):
+    """jit(shard_map(scan(vmap(one_env)))) carrying (Data, plugin-states).
+
+    The distributed twin of MujocoServer._get_step_fn's jit(scan(vmap)):
+    `one_env(d, ps) -> (d, ps)` is the server's fully-hooked single-env step
+    (OU ctrl noise + control/passive/last-stage plugin hooks), vmapped over
+    the LOCAL env shard on each device and scanned nsub substeps. Both
+    carries are sharded on the batch axis; the model is closed over
+    (replicated)."""
+
+    def shard_body(d, ps):
+        axes = tuple(mesh.axis_names)
+
+        def tag(x):
+            missing = tuple(a for a in axes if a not in jax.typeof(x).vma)
+            return (jax.lax.pcast(x, missing, to="varying")
+                    if missing else x)
+
+        def body(carry, _):
+            d, ps = carry
+            d, ps = jax.vmap(one_env)(d, ps)
+            d = jax.tree_util.tree_map(tag, d)
+            ps = jax.tree_util.tree_map(tag, ps)
+            return (d, ps), None
+        (d, ps), _ = jax.lax.scan(body, (d, ps), None, length=nsub)
+        return d, ps
+
+    smapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(BATCH_SPEC, BATCH_SPEC),
+        out_specs=(BATCH_SPEC, BATCH_SPEC),
+    )
+    return jax.jit(smapped, donate_argnums=(0, 1))

@@ -56,6 +56,20 @@ def build_parser() -> argparse.ArgumentParser:
                          "(0 = exact static pair table; see "
                          "ops/broadphase.py and the broadphase_overflow "
                          "solver stat)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="shard the env batch over a ('host','env') mesh "
+                         "(parallel/multihost.py); services are originated "
+                         "on process 0 and replayed on every follower")
+    ap.add_argument("--coordinator", default="",
+                    help="jax.distributed coordinator address host:port "
+                         "(also via MRT_COORDINATOR)")
+    ap.add_argument("--num-processes", type=int, default=0,
+                    help="total processes in the distributed run")
+    ap.add_argument("--process-id", type=int, default=-1,
+                    help="this process's rank (0 originates commands)")
+    ap.add_argument("--mesh-hosts", type=int, default=0,
+                    help="fold a single process's devices into N virtual "
+                         "host rows (testing without a pod)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--profile-dir", default="",
                     help="write a jax.profiler trace of the run here "
@@ -103,13 +117,17 @@ def make_plugins(cfg: dict):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    import os
-    import jax
-    if os.environ.get("JAX_PLATFORMS"):
-        # some TPU plugins ignore the env var; the config override is binding
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from mujoco_ros_pkgs_tpu.utils import backend
+    backend.ensure_cpu_backend()
     import jax.numpy as jnp
     from mujoco_ros_pkgs_tpu.server import MujocoServer
+
+    if args.distributed and args.coordinator:
+        from mujoco_ros_pkgs_tpu.parallel import multihost
+        multihost.initialize(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None)
 
     cfg = load_config(args.config)
     model = args.modelfile
@@ -127,7 +145,16 @@ def main(argv=None) -> int:
         ctrl_noise_rate=args.ctrl_noise_rate,
         cam_config=cam_config,
         pair_topk=args.pair_topk,
+        distributed=args.distributed,
+        mesh_hosts=args.mesh_hosts or None,
         dtype=jnp.float32 if args.f32 else None)
+
+    # follower processes execute the op stream from process 0 and exit
+    if args.distributed:
+        import jax
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            srv.serve_follower()
+            return 0
 
     stop = {"flag": False}
 

@@ -83,11 +83,29 @@ class MujocoServer:
                  ctrl_noise_std: float = 0.0, ctrl_noise_rate: float = 0.0,
                  cam_config: Optional[dict] = None,
                  pair_topk: int = 0,
+                 distributed: bool = False, mesh_hosts: Optional[int] = None,
+                 seed: int = 0,
                  dtype=None):
         if eval_mode and not admin_hash:
             # mujoco_env.cpp:92-105: eval mode requires an admin hash
             raise AdminHashError("eval mode requires an admin hash")
         self.eval_mode = eval_mode
+        # distributed data plane (parallel/multihost.py): the env batch is a
+        # globally-sharded array over the ('host','env') mesh, the step runs
+        # under shard_map, and every mutating service is originated on
+        # process 0 and replayed on every follower (serve_follower) so all
+        # hosts observe one command sequence — the reference's whole service
+        # surface (callbacks.cpp:49-92) now spanning hosts.
+        self._dist = bool(distributed)
+        self._seed = int(seed)
+        self._following = False
+        self.mesh = None
+        self.coord = None
+        if self._dist:
+            from mujoco_ros_pkgs_tpu.parallel import multihost
+            multihost.initialize()
+            self.mesh = multihost.make_host_env_mesh(n_hosts=mesh_hosts)
+            self.coord = multihost.HostCoordinator()
         self._admin_hash = admin_hash
         self.nenv = int(nenv)
         self.dtype = dtype
@@ -138,23 +156,82 @@ class MujocoServer:
         m = self._compile(source)          # propagate errors on first load
         self._install_model(m, source)
 
+    # -- sharded-state surgery helpers (no-ops in single-host mode) --------
+
+    def _np(self, arr) -> np.ndarray:
+        """Global WRITABLE numpy copy of a (possibly sharded) batched array
+        (allgathered buffers come back read-only; services mutate in place)."""
+        if self._dist and jax.process_count() > 1:
+            from mujoco_ros_pkgs_tpu.parallel import multihost
+            return np.array(multihost.gather_to_host(arr))
+        return np.array(arr)
+
+    def _put(self, np_arr, like):
+        """Write a global numpy array back as a (possibly sharded) batch."""
+        if self._dist:
+            from mujoco_ros_pkgs_tpu.parallel import multihost
+            return multihost.scatter_from_host(np_arr, self.mesh,
+                                               dtype=like.dtype)
+        return jnp.asarray(np_arr, dtype=like.dtype)
+
+    def _bcast_env(self, x1, dtype=None):
+        """Broadcast one env's value to the whole (possibly sharded) batch."""
+        arr = np.asarray(x1)
+        full = np.broadcast_to(arr, (self.nenv,) + arr.shape)
+        if self._dist:
+            from mujoco_ros_pkgs_tpu.parallel import multihost
+            return multihost.scatter_from_host(
+                full, self.mesh, dtype=dtype or arr.dtype)
+        return jnp.asarray(full, dtype=dtype)
+
+    def _env_slice(self, env_id: int):
+        """One env's Data pytree (gathers sharded leaves in dist mode)."""
+        if self._dist and jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jnp.asarray(self._np(x)[env_id]), self.d)
+        return jax.tree_util.tree_map(lambda x: x[env_id], self.d)
+
+    def _local0(self, arr):
+        """First element of this host's local shard (cheap scalar read for
+        values identical across lockstep envs, e.g. sim time)."""
+        if self._dist and jax.process_count() > 1:
+            return np.asarray(arr.addressable_shards[0].data)[0]
+        return np.asarray(arr[0])
+
+    def _replicate_model(self, m: Model) -> Model:
+        if self._dist:
+            from mujoco_ros_pkgs_tpu.parallel import multihost
+            return multihost.replicate_model(m, self.mesh)
+        return m
+
+    def _make_batch(self, m: Model):
+        """Fresh batched Data: sharded over the mesh in distributed mode
+        (host-count-independent per-env RNG), plain vmap batch otherwise."""
+        if self._dist:
+            from mujoco_ros_pkgs_tpu.parallel import multihost
+            return multihost.make_global_batch(m, self.nenv, self.mesh,
+                                               seed=self._seed,
+                                               dtype=self.dtype)
+        d1 = fwd.make_data(m, dtype=self.dtype)
+        d = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (self.nenv,) + x.shape), d1)
+        return d.replace(rng=jax.random.split(jax.random.PRNGKey(self._seed),
+                                              self.nenv))
+
     def _install_model(self, m: Model, source: str):
+        m = self._replicate_model(m)
         self.m = m
         self._model_source = source
         d1 = fwd.make_data(m, dtype=self.dtype)
-        self.d = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (self.nenv,) + x.shape), d1)
-        # per-env RNG streams
-        keys = jax.random.split(jax.random.PRNGKey(0), self.nenv)
-        self.d = self.d.replace(rng=keys)
+        self.d = self._make_batch(m)
         self._apply_initial_joint_states()
 
         # plugins
         self.registry = PluginRegistry()
         for p in self._pending_plugins:
             self.registry.register(p, m, d1)
-        self.pstates = self._broadcast_pstates(
-            self.registry.init_states(m, self.nenv))
+        self.pstates = self._shard_pstates(self._broadcast_pstates(
+            self.registry.init_states(m, self.nenv)))
         self._step_cache: Dict[int, Callable] = {}
 
         # offscreen camera streams (the reference wires rendering into its
@@ -181,12 +258,20 @@ class MujocoServer:
                        if hasattr(x, "shape") or np.isscalar(x) else x),
             pstates1)
 
+    def _shard_pstates(self, pstates):
+        if not self._dist:
+            return pstates
+        from mujoco_ros_pkgs_tpu.parallel import multihost
+        return jax.tree_util.tree_map(
+            lambda x: multihost.scatter_from_host(np.asarray(x), self.mesh),
+            pstates)
+
     def _apply_initial_joint_states(self):
         """loadInitialJointStates (mujoco_env.cpp:266-389): set joint positions
         and velocities by name, applied at load AND on every reset."""
         m = self.m
-        qpos = np.array(self.d.qpos)
-        qvel = np.array(self.d.qvel)
+        qpos = self._np(self.d.qpos)
+        qvel = self._np(self.d.qvel)
         for name, vals in self._init_js.items():
             j = m.joint(name)
             adr = m.jnt_qposadr[j]
@@ -199,8 +284,8 @@ class MujocoServer:
             n = JointType(m.jnt_type[j]).nv()
             v = np.atleast_1d(np.asarray(vals, dtype=np.float64))[:n]
             qvel[:, adr:adr + len(v)] = v
-        self.d = self.d.replace(qpos=jnp.asarray(qpos, dtype=self.d.qpos.dtype),
-                                qvel=jnp.asarray(qvel, dtype=self.d.qvel.dtype))
+        self.d = self.d.replace(qpos=self._put(qpos, self.d.qpos),
+                                qvel=self._put(qvel, self.d.qvel))
 
     # ------------------------------------------------------------------
     # the compiled batched step
@@ -238,22 +323,82 @@ class MujocoServer:
                 d, ps = last_hook(m, d, ps)
             return d, ps
 
-        def batch_step(m, d, ps):
-            return jax.vmap(one_env, in_axes=(None, 0, 0))(m, d, ps)
+        if self._dist:
+            from mujoco_ros_pkgs_tpu.parallel import multihost
+            model = self.m
+            smapped = multihost.shardmap_hooked_step(
+                model, self.mesh, nsub,
+                lambda d, ps: one_env(model, d, ps))
 
-        from functools import partial
+            def run(m, d, ps):
+                return smapped(d, ps)
+        else:
+            def batch_step(m, d, ps):
+                return jax.vmap(one_env, in_axes=(None, 0, 0))(m, d, ps)
 
-        @partial(jax.jit, donate_argnums=(1, 2))
-        def run(m, d, ps):
-            def body(carry, _):
-                d, ps = carry
-                d, ps = batch_step(m, d, ps)
-                return (d, ps), None
-            (d, ps), _ = jax.lax.scan(body, (d, ps), None, length=nsub)
-            return d, ps
+            from functools import partial
+
+            @partial(jax.jit, donate_argnums=(1, 2))
+            def run(m, d, ps):
+                def body(carry, _):
+                    d, ps = carry
+                    d, ps = batch_step(m, d, ps)
+                    return (d, ps), None
+                (d, ps), _ = jax.lax.scan(body, (d, ps), None, length=nsub)
+                return d, ps
 
         self._step_cache[nsub] = run
         return fn or run
+
+    # -- distributed control plane (SPMD service origination) ---------------
+
+    def _originate(self, name: str, *args, **kw):
+        """Process 0 broadcasts (service, args) so every follower replays the
+        identical op at the same step-batch boundary (serve_follower) — the
+        ROS graph's service fan-out re-expressed as an SPMD broadcast. Reads
+        that gather sharded state are originated too (the gather is a
+        collective every process must join). MUST be called with self._lock
+        held so broadcast order == execution order across server threads.
+        No-op in single-host mode and while following."""
+        if not (self._dist and not self._following
+                and jax.process_count() > 1):
+            return
+        if jax.process_index() != 0:
+            raise RuntimeError("mutating services must originate on process 0")
+        from mujoco_ros_pkgs_tpu.parallel import multihost
+        multihost.broadcast_obj((name, args, kw))
+
+    def serve_follower(self):
+        """Command loop for processes > 0 in distributed mode: execute the
+        op stream originated by process 0 until shutdown. Every op runs the
+        same deterministic method body on this host's shard, keeping global
+        state identical across hosts."""
+        import traceback
+        assert self._dist and jax.process_count() > 1
+        assert jax.process_index() != 0
+        from mujoco_ros_pkgs_tpu.parallel import multihost
+        self._following = True
+        try:
+            while not self._exit_request:
+                op = multihost.broadcast_obj(None)
+                if op is None:
+                    continue
+                name, args, kw = op
+                try:
+                    getattr(self, name)(*args, **kw)
+                except Exception:
+                    traceback.print_exc()
+        finally:
+            self._following = False
+
+    def _run_chunk(self, chunk: int):
+        """Advance the batch `chunk` substeps (one compiled scan). The unit
+        of distributed origination: every host executes the same chunk."""
+        with self._lock:
+            self._originate("_run_chunk", chunk)
+            run = self._get_step_fn(chunk)
+            self.d, self.pstates = run(self.m, self.d, self.pstates)
+            jax.block_until_ready(jax.tree_util.tree_leaves(self.d.qpos))
 
     def step(self, nsteps: int = 1, block: bool = True) -> StepResult:
         """The Step action (callbacks.cpp:94-129). Rejected while running."""
@@ -261,16 +406,13 @@ class MujocoServer:
             return StepResult(success=False)
         if nsteps <= 0:
             return StepResult(success=False)
-        with self._lock:
-            # batch substeps into at most 64-step compiled scans
-            left = nsteps
-            while left > 0:
-                chunk = min(left, 64)
-                run = self._get_step_fn(chunk)
-                self.d, self.pstates = run(self.m, self.d, self.pstates)
-                left -= chunk
-            jax.block_until_ready(self.d.qpos)
-            self._publish_clock()
+        # batch substeps into at most 64-step compiled scans
+        left = nsteps
+        while left > 0:
+            chunk = min(left, 64)
+            self._run_chunk(chunk)
+            left -= chunk
+        self._publish_clock()
         self._render_offscreen()
         return StepResult(success=True)
 
@@ -298,10 +440,7 @@ class MujocoServer:
                     ok = False
                     break
                 chunk = min(left, 16)
-                with self._lock:
-                    run = self._get_step_fn(chunk)
-                    self.d, self.pstates = run(self.m, self.d, self.pstates)
-                    jax.block_until_ready(self.d.qpos)
+                self._run_chunk(chunk)
                 left -= chunk
                 self._publish_clock()
                 if feedback_cb:
@@ -327,9 +466,11 @@ class MujocoServer:
         err = self._check_hash(admin_hash)
         if err:
             return err
-        if not hasattr(self, "_float_params"):
-            self._float_params = {}
-        self._float_params[name] = float(value)
+        with self._lock:
+            self._originate("set_float", name, value, admin_hash)
+            if not hasattr(self, "_float_params"):
+                self._float_params = {}
+            self._float_params[name] = float(value)
         return ServiceResult(True, "")
 
     def get_float(self, name: str):
@@ -350,15 +491,12 @@ class MujocoServer:
         if not (0 <= key < m.nkey):
             return ServiceResult(False, f"keyframe index {key} out of range")
         with self._lock:
+            self._originate("load_keyframe", key, admin_hash)
             def bcast(x):
-                return jnp.broadcast_to(jnp.asarray(x, dtype=self.d.qpos.dtype),
-                                        (self.nenv,) + np.asarray(x).shape)
+                return self._bcast_env(np.asarray(x), dtype=self.d.qpos.dtype)
             updates = dict(qpos=bcast(m.key_qpos[key]),
                            qvel=bcast(m.key_qvel[key]),
-                           time=jnp.broadcast_to(
-                               jnp.asarray(m.key_time[key],
-                                           dtype=self.d.qpos.dtype),
-                               (self.nenv,)))
+                           time=bcast(m.key_time[key]))
             if m.na:
                 updates["act"] = bcast(m.key_act[key])
             if m.nu:
@@ -381,28 +519,29 @@ class MujocoServer:
         if not (0 <= key < m.nkey):
             return ServiceResult(False, f"keyframe index {key} out of range")
         with self._lock:
-            def setrow(arr, val):
+            self._originate("save_keyframe", key, env_id, admin_hash)
+            def setrow(arr, batched, post=lambda x: x):
                 a = np.array(arr)
-                a[key] = np.asarray(val)
+                a[key] = post(self._np(batched)[env_id])
                 return jnp.asarray(a)
             updates = dict(
-                key_qpos=setrow(m.key_qpos, self.d.qpos[env_id]),
-                key_qvel=setrow(m.key_qvel, self.d.qvel[env_id]),
-                key_time=setrow(m.key_time, self.d.time[env_id]))
+                key_qpos=setrow(m.key_qpos, self.d.qpos),
+                key_qvel=setrow(m.key_qvel, self.d.qvel),
+                key_time=setrow(m.key_time, self.d.time))
             if m.na:
-                updates["key_act"] = setrow(m.key_act, self.d.act[env_id])
+                updates["key_act"] = setrow(m.key_act, self.d.act)
             if m.nu:
-                updates["key_ctrl"] = setrow(m.key_ctrl, self.d.ctrl[env_id])
+                updates["key_ctrl"] = setrow(m.key_ctrl, self.d.ctrl)
             if m.nmocap:
-                updates["key_mpos"] = setrow(
-                    m.key_mpos, np.asarray(self.d.mocap_pos[env_id]).ravel())
-                updates["key_mquat"] = setrow(
-                    m.key_mquat, np.asarray(self.d.mocap_quat[env_id]).ravel())
-            self.m = m.replace(**updates)
+                updates["key_mpos"] = setrow(m.key_mpos, self.d.mocap_pos,
+                                             np.ravel)
+                updates["key_mquat"] = setrow(m.key_mquat, self.d.mocap_quat,
+                                              np.ravel)
+            self.m = self._replicate_model(m.replace(**updates))
         return ServiceResult(True, "")
 
     def _publish_clock(self):
-        t = float(np.asarray(self.d.time[0]))
+        t = float(self._local0(self.d.time))
         for cb in self._clock_subs:
             cb(t)
 
@@ -423,7 +562,7 @@ class MujocoServer:
 
     @property
     def sim_time(self) -> float:
-        return float(np.asarray(self.d.time[0]))
+        return float(self._local0(self.d.time))
 
     # ------------------------------------------------------------------
     # physics loop (real-time paced background stepping)
@@ -449,15 +588,12 @@ class MujocoServer:
                 cpu_start = _time.perf_counter()
                 sim_start = self.sim_time
                 continue
-            with self._lock:
-                chunk = 8 if self.realtime_factor < 0 else 1
-                if self.num_steps_until_exit > 0:
-                    chunk = min(chunk, self.num_steps_until_exit)
-                run = self._get_step_fn(chunk)
-                self.d, self.pstates = run(self.m, self.d, self.pstates)
-                jax.block_until_ready(self.d.qpos)
-                if self.num_steps_until_exit > 0:
-                    self.num_steps_until_exit -= chunk
+            chunk = 8 if self.realtime_factor < 0 else 1
+            if self.num_steps_until_exit > 0:
+                chunk = min(chunk, self.num_steps_until_exit)
+            self._run_chunk(chunk)
+            if self.num_steps_until_exit > 0:
+                self.num_steps_until_exit -= chunk
             self._publish_clock()
             self._render_offscreen()
             elapsed_cpu = _time.perf_counter() - cpu_start
@@ -495,11 +631,15 @@ class MujocoServer:
         err = self._check_hash(admin_hash)
         if err:
             return err
-        self.paused = bool(paused)
+        with self._lock:
+            self._originate("set_pause", paused, admin_hash)
+            self.paused = bool(paused)
         return ServiceResult(True, "")
 
     def shutdown(self) -> ServiceResult:
-        self._exit_request = True
+        with self._lock:
+            self._originate("shutdown")
+            self._exit_request = True
         self.stop_physics_loop()
         return ServiceResult(True, "")
 
@@ -511,6 +651,7 @@ class MujocoServer:
             return err
         source = model or self._model_source
         with self._lock:
+            self._originate("reload", model, admin_hash)
             self._status = STATUS_LOAD_REQUESTED
             try:
                 self._status = STATUS_LOADING
@@ -529,11 +670,9 @@ class MujocoServer:
         if err:
             return err
         with self._lock:
+            self._originate("reset", admin_hash)
             d1 = fwd.make_data(self.m, dtype=self.dtype)
-            self.d = jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(x, (self.nenv,) + x.shape), d1)
-            keys = jax.random.split(jax.random.PRNGKey(0), self.nenv)
-            self.d = self.d.replace(rng=keys)
+            self.d = self._make_batch(self.m)
             self._apply_initial_joint_states()
             self.registry.reset_all(self.m, d1)
             # plugin STATE pytrees (PID integrators, mocap targets, noise
@@ -541,9 +680,19 @@ class MujocoServer:
             # on reset via safe_reset (mujoco_env.cpp:246-264); runtime
             # registrations held on plugin objects (e.g. noise models) are
             # reflected because init_state reads the plugin's current config
-            self.pstates = self._broadcast_pstates(
-                self.registry.init_states(self.m, self.nenv))
+            self.pstates = self._shard_pstates(self._broadcast_pstates(
+                self.registry.init_states(self.m, self.nenv)))
         return ServiceResult(True, "")
+
+    def get_batch_state(self) -> dict:
+        """Global numpy snapshot of the batch trajectory state (qpos, qvel,
+        time). In distributed mode this is an ORIGINATED read: the gather is
+        a collective every host joins (followers replay it)."""
+        with self._lock:
+            self._originate("get_batch_state")
+            return dict(qpos=self._np(self.d.qpos),
+                        qvel=self._np(self.d.qvel),
+                        time=self._np(self.d.time))
 
     def get_loading_request_state(self) -> StateUint:
         desc = {STATUS_RUNNING: "simulation ready",
@@ -568,8 +717,11 @@ class MujocoServer:
         j = self._free_jnt_of_body(b)
         if j is not None:
             qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-            qpos = np.asarray(self.d.qpos[env_id])
-            qvel = np.asarray(self.d.qvel[env_id])
+            with self._lock:
+                # reads gather sharded state — a collective all hosts join
+                self._originate("get_body_state", name, env_id)
+                qpos = self._np(self.d.qpos)[env_id]
+                qvel = self._np(self.d.qvel)[env_id]
             st.pose = Pose(qpos[qadr:qadr + 3].copy(),
                            qpos[qadr + 3:qadr + 7].copy())
             # free-joint angular velocity is body-local; report world
@@ -595,14 +747,16 @@ class MujocoServer:
         except ValueError:
             return ServiceResult(False, f"body '{state.name}' not found")
         with self._lock:
+            self._originate("set_body_state", state, set_pose, set_twist,
+                            set_mass, admin_hash)
             if set_pose or set_twist:
                 j = self._free_jnt_of_body(b)
                 if j is None:
                     return ServiceResult(
                         False, f"body '{state.name}' has no free joint")
                 qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-                qpos = np.array(self.d.qpos)
-                qvel = np.array(self.d.qvel)
+                qpos = self._np(self.d.qpos)
+                qvel = self._np(self.d.qvel)
                 envs = (slice(None) if state.env_id is None else state.env_id)
                 if set_pose:
                     quat = np.asarray(state.pose.orientation, dtype=np.float64)
@@ -621,14 +775,14 @@ class MujocoServer:
                     qvel[envs, vadr:vadr + 3] = state.twist.linear
                     qvel[envs, vadr + 3:vadr + 6] = w_local
                 self.d = self.d.replace(
-                    qpos=jnp.asarray(qpos, dtype=self.d.qpos.dtype),
-                    qvel=jnp.asarray(qvel, dtype=self.d.qvel.dtype))
+                    qpos=self._put(qpos, self.d.qpos),
+                    qvel=self._put(qvel, self.d.qvel))
             if set_mass:
                 body_mass = np.array(m.body_mass)
                 body_mass[b] = state.mass
                 newm = m.replace(body_mass=jnp.asarray(body_mass))
                 newm = constants.set_constants(newm)   # mj_setConst re-derive
-                self.m = newm
+                self.m = self._replicate_model(newm)
         return ServiceResult(True, "")
 
     # -- geom properties ----------------------------------------------
@@ -659,6 +813,8 @@ class MujocoServer:
         except ValueError:
             return ServiceResult(False, f"geom '{props.name}' not found")
         with self._lock:
+            self._originate("set_geom_properties", props, set_type, set_mass,
+                            set_friction, set_size, admin_hash)
             updates = {}
             if set_friction:
                 fr = np.array(m.geom_friction)
@@ -696,14 +852,12 @@ class MujocoServer:
                 c1 = narrowphase.empty_contact(newm, self.d.qpos.dtype)
                 nefc = max(efcmod.row_layout(newm)["nrow"], 1)
                 self.d = self.d.replace(
-                    contact=jax.tree_util.tree_map(
-                        lambda x: jnp.broadcast_to(x, (self.nenv,) + x.shape),
-                        c1),
-                    efc_force_contact=jnp.zeros((self.nenv, nefc),
-                                                dtype=self.d.qpos.dtype))
+                    contact=jax.tree_util.tree_map(self._bcast_env, c1),
+                    efc_force_contact=self._bcast_env(
+                        np.zeros(nefc), dtype=self.d.qpos.dtype))
             if updates or set_type:
                 newm = constants.set_constants(newm)
-                self.m = newm
+                self.m = self._replicate_model(newm)
                 for p in self.registry.cb_ready:
                     p.on_geom_changed(newm, g)
         return ServiceResult(True, "")
@@ -718,8 +872,10 @@ class MujocoServer:
         if err:
             return err
         with self._lock:
-            self.m = self.m.replace(opt=self.m.opt.replace(
-                gravity=jnp.asarray(np.asarray(gravity, dtype=np.float64))))
+            self._originate("set_gravity",
+                            tuple(np.asarray(gravity).tolist()), admin_hash)
+            self.m = self._replicate_model(self.m.replace(opt=self.m.opt.replace(
+                gravity=jnp.asarray(np.asarray(gravity, dtype=np.float64)))))
         return ServiceResult(True, "")
 
     # -- equality constraints -----------------------------------------
@@ -731,9 +887,12 @@ class MujocoServer:
         data = np.asarray(m.eq_data[e])
         solref = np.asarray(m.eq_solref[e])
         solimp = np.asarray(m.eq_solimp[e])
+        with self._lock:
+            self._originate("get_eq_constraint_parameters", name, env_id)
+            eq_active = bool(self._np(self.d.eq_active)[env_id, e])
         p = EqualityConstraintParameters(
             name=name, type=m.eq_type[e],
-            active=bool(np.asarray(self.d.eq_active[env_id, e])),
+            active=eq_active,
             solverParameters=SolverParameters(
                 dmin=solimp[0], dmax=solimp[1], width=solimp[2],
                 midpoint=solimp[3], power=solimp[4],
@@ -772,6 +931,7 @@ class MujocoServer:
         except ValueError:
             return ServiceResult(False, f"equality '{p.name}' not found")
         with self._lock:
+            self._originate("set_eq_constraint_parameters", p, admin_hash)
             data = np.array(m.eq_data)
             solref = np.array(m.eq_solref)
             solimp = np.array(m.eq_solimp)
@@ -789,13 +949,14 @@ class MujocoServer:
                 data[e, 10] = p.torquescale
             else:
                 data[e, 0:5] = p.polycoef
-            self.m = m.replace(eq_data=jnp.asarray(data),
-                               eq_solref=jnp.asarray(solref),
-                               eq_solimp=jnp.asarray(solimp))
-            ea = np.array(self.d.eq_active)
+            self.m = self._replicate_model(m.replace(
+                eq_data=jnp.asarray(data),
+                eq_solref=jnp.asarray(solref),
+                eq_solimp=jnp.asarray(solimp)))
+            ea = self._np(self.d.eq_active)
             envs = slice(None) if p.env_id is None else p.env_id
             ea[envs, e] = bool(p.active)
-            self.d = self.d.replace(eq_active=jnp.asarray(ea))
+            self.d = self.d.replace(eq_active=self._put(ea, self.d.eq_active))
         return ServiceResult(True, "")
 
     # -- plugin-backed services ---------------------------------------
@@ -816,8 +977,11 @@ class MujocoServer:
         if p is None:
             return ServiceResult(False, "no mocap plugin loaded")
         with self._lock:
+            self._originate("set_mocap_state", state, admin_hash)
             states = list(self.pstates)
-            states[i], res = p.set_state(states[i], state)
+            ps_np = jax.tree_util.tree_map(self._np, states[i])
+            new_ps, res = p.set_state(ps_np, state)
+            states[i] = self._shard_pstates(new_ps)
             self.pstates = tuple(states)
         return res
 
@@ -830,13 +994,13 @@ class MujocoServer:
         if p is None:
             return ServiceResult(False, "no sensors plugin loaded")
         with self._lock:
+            self._originate("register_noise_models", models, admin_hash)
             rejected = p.register_noise_models(models)
             mean, std, enabled = p.noise_arrays(self.m)
             ps = dict(self.pstates[i])
-            ps["mean"] = jnp.broadcast_to(mean, (self.nenv,) + mean.shape)
-            ps["std"] = jnp.broadcast_to(std, (self.nenv,) + std.shape)
-            ps["enabled"] = jnp.broadcast_to(enabled,
-                                             (self.nenv,) + enabled.shape)
+            ps["mean"] = self._bcast_env(np.asarray(mean))
+            ps["std"] = self._bcast_env(np.asarray(std))
+            ps["enabled"] = self._bcast_env(np.asarray(enabled))
             states = list(self.pstates)
             states[i] = ps
             self.pstates = tuple(states)
@@ -849,9 +1013,11 @@ class MujocoServer:
         i, p = self._plugin_of(SensorsPlugin)
         if p is None:
             return None, None
-        ps = self.pstates[i]
-        noisy = np.asarray(ps["noisy"][env_id])
-        gt = None if self.eval_mode else np.asarray(ps["gt"][env_id])
+        with self._lock:
+            self._originate("sensor_outputs", env_id)
+            ps = self.pstates[i]
+            noisy = self._np(ps["noisy"])[env_id]
+            gt = None if self.eval_mode else self._np(ps["gt"])[env_id]
         return noisy, gt
 
     def load_initial_joint_states(self, positions: dict, velocities: dict,
@@ -860,6 +1026,8 @@ class MujocoServer:
         if err:
             return err
         with self._lock:
+            self._originate("load_initial_joint_states", positions,
+                            velocities, admin_hash)
             self._init_js = dict(positions)
             self._init_jv = dict(velocities)
             self._apply_initial_joint_states()
@@ -890,7 +1058,9 @@ class MujocoServer:
         reference broadcasts these as TF; offscreen_camera.cpp:95-120)."""
         from mujoco_ros_pkgs_tpu.render import camera as rcam
         from mujoco_ros_pkgs_tpu.ops import math as mmath_
-        d1 = jax.tree_util.tree_map(lambda x: x[env_id], self.d)
+        with self._lock:
+            self._originate("camera_frames", env_id)
+            d1 = self._env_slice(env_id)
         out = {}
         for ci, name in enumerate(self.m.cam_names):
             pos, R = rcam.cam_pose(self.m, d1, ci)
@@ -919,10 +1089,19 @@ class MujocoServer:
             cid = self.m.cam_names.index(cam_name)
         except ValueError:
             return ServiceResult(False, f"no camera named '{cam_name}'")
+        # snapshot under the lock; render OUTSIDE it (a recompile or slow
+        # raster must not stall the physics loop), with the jitted render
+        # cached per (camera, size) like OffscreenCameraStream._render_jit
         with self._lock:
-            d1 = jax.tree_util.tree_map(lambda x: x[env_id], self.d)
-            rgb, depth, seg = jax.jit(
-                lambda dd: rcam.render(self.m, dd, cid, width, height))(d1)
+            self._originate("screenshot", cam_name, "", env_id, width, height)
+            d1 = self._env_slice(env_id)
+            model = self.m
+        key = (cid, width, height, id(model))
+        cache = getattr(self, "_screenshot_jit", None)
+        if cache is None or cache[0] != key:
+            fn = jax.jit(lambda dd: rcam.render(model, dd, cid, width, height))
+            self._screenshot_jit = (key, fn)
+        rgb, depth, seg = self._screenshot_jit[1](d1)
         if path:
             png.write(path, np.asarray(rgb))
         return ServiceResult(True, path or "rendered (no path given)")
@@ -944,13 +1123,15 @@ class MujocoServer:
         wrench = np.concatenate([np.asarray(force, dtype=np.float64),
                                  np.asarray(torque, dtype=np.float64)])
         with self._lock:
-            xf = np.array(self.d.xfrc_applied)
+            self._originate("apply_body_wrench", name, tuple(force),
+                            tuple(torque), env_id, admin_hash)
+            xf = self._np(self.d.xfrc_applied)
             if env_id is None:
                 xf[:, b, :] = wrench
             else:
                 xf[env_id, b, :] = wrench
             self.d = self.d.replace(
-                xfrc_applied=jnp.asarray(xf, dtype=self.d.qpos.dtype))
+                xfrc_applied=self._put(xf, self.d.xfrc_applied))
         return ServiceResult(True, "")
 
     def clear_body_wrenches(self, admin_hash: str = "") -> ServiceResult:
@@ -958,8 +1139,11 @@ class MujocoServer:
         if err:
             return err
         with self._lock:
+            self._originate("clear_body_wrenches", admin_hash)
             self.d = self.d.replace(
-                xfrc_applied=jnp.zeros_like(self.d.xfrc_applied))
+                xfrc_applied=self._bcast_env(
+                    np.zeros(self.d.xfrc_applied.shape[1:]),
+                    dtype=self.d.qpos.dtype))
         return ServiceResult(True, "")
 
     def save_xml(self, path: str, admin_hash: str = "") -> ServiceResult:
@@ -1005,12 +1189,13 @@ class MujocoServer:
         figures (figconstraint/figcost/figtimer, viewer.h:267-271), exported
         as a dict instead of an mjvFigure."""
         with self._lock:
+            self._originate("get_solver_stats", env_id)
             c = self.d.contact
-            dist = np.asarray(c.dist[env_id])
-            incm = np.asarray(c.includemargin[env_id])
+            dist = self._np(c.dist)[env_id]
+            incm = self._np(c.includemargin)[env_id]
             active = dist < incm
-            fc = np.asarray(self.d.efc_force_contact[env_id])
-            qfc = np.asarray(self.d.qfrc_constraint[env_id])
+            fc = self._np(self.d.efc_force_contact)[env_id]
+            qfc = self._np(self.d.qfrc_constraint)[env_id]
             return {
                 "ncon_capacity": int(dist.shape[0]),
                 "ncon_active": int(active.sum()),
@@ -1032,5 +1217,5 @@ class MujocoServer:
         if not self.m.pair_topk:
             return 0
         from mujoco_ros_pkgs_tpu.ops import broadphase as bp
-        d1 = jax.tree_util.tree_map(lambda x: x[env_id], self.d)
+        d1 = self._env_slice(env_id)
         return int(bp.candidate_overflow(self.m, d1))
