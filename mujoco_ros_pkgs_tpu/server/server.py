@@ -146,6 +146,13 @@ class MujocoServer:
         if "<" in source:   # XML string (the reference's VFS string path)
             m = mjcf.load_model_from_string(source, dtype=self.dtype,
                                             pair_topk=self.pair_topk)
+        elif source.endswith(".mjb"):
+            # MuJoCo binary model — mj_loadModel analogue
+            # (mujoco_ros/src/mujoco_env.cpp:785-836; the reload service
+            # accepts either format)
+            from mujoco_ros_pkgs_tpu.core import interop
+            m = interop.load_model_mjb(source, dtype=self.dtype,
+                                       pair_topk=self.pair_topk)
         else:
             m = mjcf.load_model(source, dtype=self.dtype,
                                 pair_topk=self.pair_topk)

@@ -1,8 +1,7 @@
-"""Step-level kernel-vs-jnp trajectory parity on the real TPU chip.
-
-Runs jit(vmap(step)) twice per scene — MRP_PALLAS_SOLVER=1 (fused Pallas
-kernel) and =0 (reference jnp Newton) — and compares trajectories. This is
-the on-hardware complement to tests/test_solver_tpu.py (whose kernel coverage
+"""Step-level trajectory parity: Pallas kernel on the REAL TPU chip vs the
+reference jnp Newton solver on CPU (identical f32 program, no chip compile
+of the slow-to-compile jnp while_loop path — measured >50 min on the tunnel).
+The on-hardware complement to tests/test_solver_tpu.py (whose kernel coverage
 runs the cone math and a tiny interpret-mode solve on CPU; the full unrolled
 kernel compiles only on the chip in reasonable time).
 
@@ -20,7 +19,10 @@ SCENES = ["boxes", "arm7", "condim4", "condim6", "pile"]
 CHILD = r"""
 import os, sys, json
 import numpy as np
-import jax, jax.numpy as jnp
+import jax
+if os.environ.get("MRP_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")   # axon ignores the env var
+import jax.numpy as jnp
 from mujoco_ros_pkgs_tpu.utils import backend
 backend.ensure_cpu_backend()
 from mujoco_ros_pkgs_tpu.core import mjcf
@@ -62,6 +64,11 @@ def main():
         outs = {}
         for mode in ("1", "0"):
             env = dict(os.environ, MRP_PALLAS_SOLVER=mode)
+            if mode == "0":
+                # reference path runs on CPU: same f32 program, and the
+                # while_loop-heavy jnp solver compiles in seconds there
+                env["JAX_PLATFORMS"] = "cpu"
+                env["MRP_FORCE_CPU"] = "1"
             out = f"/tmp/parity_{scene}_{mode}.npy"
             r = subprocess.run([sys.executable, "-c", CHILD, scene, nsteps,
                                 out], env=env, capture_output=True, text=True)
