@@ -1,16 +1,23 @@
 """Smooth (unconstrained) dynamics: the mj_fwdPosition/Velocity/Actuation path.
 
-Pure functions over (Model, Data) for ONE env; batch via vmap. Model topology
-(static tuples) unrolls loops at trace time: the compiled XLA program is
-straight-line code specialized to the model — no gathers over topology, and the
-mass-matrix build is a single (nv,6)x(6,nv)-style dense contraction that maps
-onto the MXU under vmap.
+Pure functions over (Model, Data) for ONE env; batch via vmap.
+
+Vectorization strategy (round 3): the XLA graph no longer scales with body
+count. Tree recursions (kinematics, com velocity, CRB/RNE accumulations) are
+level-order sweeps — bodies grouped by tree depth (static), each level
+processed as one vectorized gather/compute/scatter over all bodies at that
+depth. Per-dof quantities (cdof), tendons (segment-sum), transmission /
+passive / actuation (static type groups) are fully vectorized. Graph size is
+O(tree_depth x max_joints_per_body) for the sweeps and O(#type groups) for
+the rest — a 50-free-body pile traces the same program as one box.
 
 Mirrors libmujoco 2.3.7 engine_core_smooth.c semantics (the engine the
 reference server steps via mj_step, mujoco_ros/src/mujoco_env.cpp:498).
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import jax
@@ -23,11 +30,8 @@ from mujoco_ros_pkgs_tpu.ops import math as mmath
 
 
 # ---------------------------------------------------------------------------
-# static topology helpers (host-side, trace-time)
+# static topology helpers (host-side, trace-time; memoized on static tuples)
 # ---------------------------------------------------------------------------
-
-import functools
-
 
 @functools.lru_cache(maxsize=128)
 def _dof_ancestor_mask(dof_parentid, nv) -> np.ndarray:
@@ -41,8 +45,7 @@ def _dof_ancestor_mask(dof_parentid, nv) -> np.ndarray:
 
 
 def dof_ancestor_mask(m: Model) -> np.ndarray:
-    """mask[i, j] = 1 if dof j is on the ancestor chain of dof i (inclusive).
-    Memoized on the static topology tuples (called per trace, not per model)."""
+    """mask[i, j] = 1 if dof j is on the ancestor chain of dof i (inclusive)."""
     return _dof_ancestor_mask(m.dof_parentid, m.nv)
 
 
@@ -62,9 +65,78 @@ def _body_dof_mask(body_parentid, body_dofnum, body_dofadr, nv) -> np.ndarray:
 
 
 def body_dof_mask(m: Model) -> np.ndarray:
-    """mask[j, b] = 1 if dof j affects body b (dof's body is ancestor of b).
-    Memoized on the static topology tuples."""
+    """mask[j, b] = 1 if dof j affects body b (dof's body is ancestor of b)."""
     return _body_dof_mask(m.body_parentid, m.body_dofnum, m.body_dofadr, m.nv)
+
+
+@functools.lru_cache(maxsize=128)
+def _tree_levels(body_parentid):
+    """Bodies grouped by tree depth: tuple of int32 arrays, shallowest first
+    (world body 0 excluded). All of a body's ancestors live in earlier groups,
+    so each group is data-parallel given its parents' results."""
+    nbody = len(body_parentid)
+    depth = np.zeros(nbody, dtype=np.int32)
+    for b in range(1, nbody):
+        depth[b] = depth[body_parentid[b]] + 1
+    levels = []
+    for dep in range(1, int(depth.max()) + 1 if nbody > 1 else 1):
+        ids = np.nonzero(depth == dep)[0].astype(np.int32)
+        if ids.size:
+            levels.append(ids)
+    return tuple(levels)
+
+
+class _KinMeta:
+    """Per-level static index tables for the kinematics/velocity sweeps."""
+
+    def __init__(self, m: Model):
+        self.levels = _tree_levels(m.body_parentid)
+        par = np.asarray(m.body_parentid, dtype=np.int32)
+        jadr = np.asarray(m.body_jntadr, dtype=np.int32)
+        jnum = np.asarray(m.body_jntnum, dtype=np.int32)
+        mocap = np.asarray(m.body_mocapid, dtype=np.int32)
+        jtype = np.asarray(m.jnt_type, dtype=np.int32) if m.njnt else np.zeros(0, np.int32)
+        self.per_level = []
+        for ids in self.levels:
+            maxj = int(jnum[ids].max()) if ids.size else 0
+            joints = []
+            for k in range(maxj):
+                jmask = jnum[ids] > k
+                jid = np.where(jmask, jadr[ids] + k, 0).astype(np.int32)
+                joints.append((jid, jmask, jtype[jid]))
+            self.per_level.append(dict(
+                ids=ids, par=par[ids], joints=joints,
+                mocap=mocap[ids], has_mocap=bool((mocap[ids] >= 0).any())))
+
+
+@functools.lru_cache(maxsize=128)
+def _kin_meta_cached(body_parentid, body_jntadr, body_jntnum, body_mocapid,
+                     jnt_type):
+    class _M:  # minimal shim so _KinMeta can read the tuples
+        pass
+    m = _M()
+    m.body_parentid = body_parentid
+    m.body_jntadr = body_jntadr
+    m.body_jntnum = body_jntnum
+    m.body_mocapid = body_mocapid
+    m.jnt_type = jnt_type
+    m.njnt = len(jnt_type)
+    return _KinMeta(m)
+
+
+def _kin_meta(m: Model) -> _KinMeta:
+    return _kin_meta_cached(m.body_parentid, m.body_jntadr, m.body_jntnum,
+                            m.body_mocapid, m.jnt_type)
+
+
+# vectorized math (vmap of the single-element helpers)
+_v_quat_mul = jax.vmap(mmath.quat_mul)
+_v_rot = jax.vmap(mmath.rot_vec_quat)
+_v_norm = jax.vmap(mmath.normalize)
+_v_axang = jax.vmap(mmath.axis_angle_to_quat)
+_v_quat_to_mat = jax.vmap(mmath.quat_to_mat)
+_v_motion_cross = jax.vmap(mmath.motion_cross)
+_v_quat_sub = jax.vmap(mmath.quat_sub)
 
 
 # ---------------------------------------------------------------------------
@@ -72,80 +144,115 @@ def body_dof_mask(m: Model) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def kinematics(m: Model, d: Data) -> Data:
-    """Forward kinematics; also renormalizes quaternions in qpos (as MuJoCo does)."""
+    """Forward kinematics; also renormalizes quaternions in qpos (as MuJoCo
+    does). Level-order sweep: one vectorized gather/compute/scatter per tree
+    depth (graph size O(depth), not O(nbody))."""
     qpos = d.qpos
+    dtype = qpos.dtype
+    meta = _kin_meta(m)
+    qpos0 = m.qpos0
+    jnt_pos, jnt_axis = m.jnt_pos, m.jnt_axis
+    qposadr = (np.asarray(m.jnt_qposadr, dtype=np.int32)
+               if m.njnt else np.zeros(0, np.int32))
 
-    xpos = [jnp.zeros(3, dtype=qpos.dtype)]
-    xquat = [jnp.array([1.0, 0, 0, 0], dtype=qpos.dtype)]
-    xanchor = [None] * m.njnt
-    xaxis = [None] * m.njnt
+    xpos = jnp.zeros((m.nbody, 3), dtype=dtype)
+    xquat = jnp.zeros((m.nbody, 4), dtype=dtype).at[0, 0].set(1.0)
+    xanchor = jnp.zeros((max(m.njnt, 1), 3), dtype=dtype)
+    xaxis = jnp.zeros((max(m.njnt, 1), 3), dtype=dtype)
     qpos_out = qpos
 
-    for b in range(1, m.nbody):
-        p = m.body_parentid[b]
-        pq, pp = xquat[p], xpos[p]
-        if m.body_mocapid[b] >= 0:
-            # mocap bodies are driven directly from mocap_pos/quat (the
-            # reference's mocap plugin writes these every step,
-            # mujoco_ros_mocap_plugin/src/mocap_plugin.cpp:80-105)
-            mid = m.body_mocapid[b]
-            xpos.append(d.mocap_pos[mid])
-            xquat.append(mmath.normalize(d.mocap_quat[mid]))
-            continue
-        quat = mmath.quat_mul(pq, m.body_quat[b])
-        pos = pp + mmath.rot_vec_quat(m.body_pos[b], pq)
+    FREE, BALL = int(JointType.FREE), int(JointType.BALL)
+    SLIDE, HINGE = int(JointType.SLIDE), int(JointType.HINGE)
 
-        for k in range(m.body_jntnum[b]):
-            j = m.body_jntadr[b] + k
-            jt = m.jnt_type[j]
-            qadr = m.jnt_qposadr[j]
-            if jt == int(JointType.FREE):
-                pos = qpos[qadr:qadr + 3]
-                quat = mmath.normalize(qpos[qadr + 3:qadr + 7])
-                qpos_out = qpos_out.at[qadr + 3:qadr + 7].set(quat)
-                xanchor[j] = pos
-                xaxis[j] = m.jnt_axis[j]  # free joint axis stays global +z
-                continue
-            anchor = pos + mmath.rot_vec_quat(m.jnt_pos[j], quat)
-            axis = mmath.rot_vec_quat(m.jnt_axis[j], quat)
-            xanchor[j] = anchor
-            xaxis[j] = axis
-            if jt == int(JointType.SLIDE):
-                pos = pos + axis * (qpos[qadr] - m.qpos0[qadr])
-                xanchor[j] = pos + mmath.rot_vec_quat(m.jnt_pos[j], quat)
-            elif jt == int(JointType.BALL):
-                qloc = mmath.normalize(qpos[qadr:qadr + 4])
-                qpos_out = qpos_out.at[qadr:qadr + 4].set(qloc)
-                quat = mmath.quat_mul(quat, qloc)
-                pos = anchor - mmath.rot_vec_quat(m.jnt_pos[j], quat)
-            elif jt == int(JointType.HINGE):
-                angle = qpos[qadr] - m.qpos0[qadr]
-                qloc = mmath.axis_angle_to_quat(m.jnt_axis[j], angle)
-                quat = mmath.quat_mul(quat, qloc)
-                pos = anchor - mmath.rot_vec_quat(m.jnt_pos[j], quat)
-        xpos.append(pos)
-        xquat.append(mmath.normalize(quat))
+    for lv in meta.per_level:
+        ids, par = lv["ids"], lv["par"]
+        W = ids.size
+        pq, pp = xquat[par], xpos[par]
+        quat = _v_quat_mul(pq, m.body_quat[ids])
+        pos = pp + _v_rot(m.body_pos[ids], pq)
 
-    xpos = jnp.stack(xpos)
-    xquat = jnp.stack(xquat)
-    xmat = jax.vmap(mmath.quat_to_mat)(xquat)
+        for jid, jmask_np, jt in lv["joints"]:
+            qa = qposadr[jid]                       # (W,) static
+            # contiguous 7-wide qpos window per joint (clipped gather)
+            qi = np.minimum(qa[:, None] + np.arange(7), max(m.nq - 1, 0))
+            qblk = qpos[qi]                          # (W, 7)
+            jp, ja = jnt_pos[jid], jnt_axis[jid]
+            q0_1 = qpos0[np.minimum(qa, max(m.nq - 1, 0))]
 
-    xipos = xpos + jax.vmap(mmath.rot_vec_quat)(m.body_ipos, xquat)
-    ximat = xmat @ jax.vmap(mmath.quat_to_mat)(m.body_iquat)
+            anchor_c = pos + _v_rot(jp, quat)
+            axis_c = _v_rot(ja, quat)
 
-    if m.njnt:
-        xanchor = jnp.stack(xanchor)
-        xaxis = jnp.stack(xaxis)
-    else:
-        xanchor = jnp.zeros((0, 3), dtype=qpos.dtype)
-        xaxis = jnp.zeros((0, 3), dtype=qpos.dtype)
+            is_free = (jt == FREE)[:, None]
+            is_ball = (jt == BALL)[:, None]
+            is_slide = (jt == SLIDE)[:, None]
+            is_hinge = (jt == HINGE)[:, None]
+
+            # HINGE
+            qloc_h = _v_axang(ja, qblk[:, 0] - q0_1)
+            quat_h = _v_quat_mul(quat, qloc_h)
+            pos_h = anchor_c - _v_rot(jp, quat_h)
+            # SLIDE
+            pos_s = pos + axis_c * (qblk[:, 0] - q0_1)[:, None]
+            anchor_s = pos_s + _v_rot(jp, quat)
+            # BALL
+            qloc_b = _v_norm(qblk[:, :4])
+            quat_b = _v_quat_mul(quat, qloc_b)
+            pos_b = anchor_c - _v_rot(jp, quat_b)
+            # FREE
+            pos_f = qblk[:, :3]
+            quat_f = _v_norm(qblk[:, 3:7])
+
+            new_quat = jnp.where(is_free, quat_f,
+                                 jnp.where(is_ball, quat_b,
+                                           jnp.where(is_hinge, quat_h, quat)))
+            new_pos = jnp.where(is_free, pos_f,
+                                jnp.where(is_ball, pos_b,
+                                          jnp.where(is_hinge, pos_h,
+                                                    jnp.where(is_slide, pos_s,
+                                                              pos))))
+            anch = jnp.where(is_free, new_pos,
+                             jnp.where(is_slide, anchor_s, anchor_c))
+            axv = jnp.where(is_free, ja, axis_c)
+
+            jmask = jnp.asarray(jmask_np)
+            quat = jnp.where(jmask[:, None], new_quat, quat)
+            pos = jnp.where(jmask[:, None], new_pos, pos)
+            # scatter joint frames (masked lanes -> OOB index, dropped)
+            jsc = np.where(jmask_np, jid, m.njnt)
+            xanchor = xanchor.at[jsc].set(anch, mode="drop")
+            xaxis = xaxis.at[jsc].set(axv, mode="drop")
+            # qpos renormalization writes: FREE quat at qadr+3, BALL at qadr
+            qn_mask = (jt == FREE) | (jt == BALL)
+            off = np.where(jt == FREE, 3, 0)
+            qidx = np.where((qn_mask & jmask_np)[:, None],
+                            qa[:, None] + off[:, None] + np.arange(4), m.nq)
+            qvals = jnp.where(is_free, quat_f, qloc_b)
+            qpos_out = qpos_out.at[qidx].set(qvals, mode="drop")
+
+        if lv["has_mocap"]:
+            mocap = lv["mocap"]
+            mc = np.maximum(mocap, 0)
+            is_mocap = jnp.asarray(mocap >= 0)[:, None]
+            pos = jnp.where(is_mocap, d.mocap_pos[mc], pos)
+            quat = jnp.where(is_mocap, _v_norm(d.mocap_quat[mc]), quat)
+
+        xquat = xquat.at[ids].set(_v_norm(quat))
+        xpos = xpos.at[ids].set(pos)
+
+    xmat = _v_quat_to_mat(xquat)
+    xipos = xpos + _v_rot(m.body_ipos, xquat)
+    ximat = xmat @ _v_quat_to_mat(m.body_iquat)
+
+    if not m.njnt:
+        xanchor = jnp.zeros((0, 3), dtype=dtype)
+        xaxis = jnp.zeros((0, 3), dtype=dtype)
 
     gb = np.array(m.geom_bodyid, dtype=np.int32) if m.ngeom else np.zeros(0, np.int32)
     geom_xpos = xpos[gb] + jnp.einsum("bij,bj->bi", xmat[gb], m.geom_pos)
-    geom_xmat = xmat[gb] @ jax.vmap(mmath.quat_to_mat)(m.geom_quat)
+    geom_xmat = xmat[gb] @ _v_quat_to_mat(m.geom_quat)
     sb = np.array(m.site_bodyid, dtype=np.int32) if m.nsite else np.zeros(0, np.int32)
     site_xpos = xpos[sb] + jnp.einsum("bij,bj->bi", xmat[sb], m.site_pos)
-    site_xmat = xmat[sb] @ jax.vmap(mmath.quat_to_mat)(m.site_quat)
+    site_xmat = xmat[sb] @ _v_quat_to_mat(m.site_quat)
 
     return d.replace(qpos=qpos_out, xpos=xpos, xquat=xquat, xmat=xmat,
                      xipos=xipos, ximat=ximat, xanchor=xanchor, xaxis=xaxis,
@@ -153,17 +260,43 @@ def kinematics(m: Model, d: Data) -> Data:
                      site_xpos=site_xpos, site_xmat=site_xmat)
 
 
+@functools.lru_cache(maxsize=128)
+def _dof_meta(jnt_type, jnt_dofadr, dof_jntid):
+    """Per-dof static classification for the vectorized cdof build.
+
+    kind: 0 = free translation, 1 = rotation about body-frame axis (free rot /
+    ball), 2 = slide, 3 = hinge. axno: axis index for kinds 0/1."""
+    nv = len(dof_jntid)
+    kind = np.zeros(nv, dtype=np.int32)
+    axno = np.zeros(nv, dtype=np.int32)
+    for v in range(nv):
+        j = dof_jntid[v]
+        t = jnt_type[j]
+        off = v - jnt_dofadr[j]
+        if t == int(JointType.FREE):
+            if off < 3:
+                kind[v], axno[v] = 0, off
+            else:
+                kind[v], axno[v] = 1, off - 3
+        elif t == int(JointType.BALL):
+            kind[v], axno[v] = 1, off
+        elif t == int(JointType.SLIDE):
+            kind[v] = 2
+        else:
+            kind[v] = 3
+    onehot = np.eye(3, dtype=np.float64)[axno]  # (nv, 3)
+    return kind, onehot
+
+
 def com_pos(m: Model, d: Data) -> Data:
     """mj_comPos: subtree com, com-based inertia (cinert) and dof axes (cdof)."""
     dtype = d.qpos.dtype
-    # subtree com: backward accumulation of mass*xipos
-    mass = m.body_mass
-    wsum = mass[:, None] * d.xipos
-    subtree = list(wsum)
-    for b in range(m.nbody - 1, 0, -1):
-        subtree[m.body_parentid[b]] = subtree[m.body_parentid[b]] + subtree[b]
-    subtree_com = jnp.stack(subtree) / jnp.maximum(
-        m.body_subtreemass, mmath.MINVAL)[:, None]
+    meta = _kin_meta(m)
+    # subtree com: reverse level-order scatter-add of mass*xipos
+    wsum = m.body_mass[:, None] * d.xipos
+    for lv in reversed(meta.per_level):
+        wsum = wsum.at[lv["par"]].add(wsum[lv["ids"]])
+    subtree_com = wsum / jnp.maximum(m.body_subtreemass, mmath.MINVAL)[:, None]
     subtree_com = subtree_com.at[0].set(
         jnp.where(m.body_subtreemass[0] > mmath.MINVAL, subtree_com[0],
                   jnp.zeros(3, dtype=dtype)))
@@ -176,37 +309,25 @@ def com_pos(m: Model, d: Data) -> Data:
         I_world = ximat @ jnp.diag(inertia) @ ximat.T
         return mmath.inert_from_mass_com_fullinertia(massb, I_world, xipos - refb)
 
-    cinert = jax.vmap(one_cinert)(d.ximat, m.body_inertia, mass, d.xipos, ref)
+    cinert = jax.vmap(one_cinert)(d.ximat, m.body_inertia, m.body_mass,
+                                  d.xipos, ref)
 
-    # cdof
-    cdofs = []
-    for j in range(m.njnt):
-        jt = m.jnt_type[j]
-        b = m.jnt_bodyid[j]
-        refb = ref[b]
-        if jt == int(JointType.FREE):
-            for ax in range(3):
-                e = jnp.zeros(6, dtype=dtype).at[3 + ax].set(1.0)
-                cdofs.append(e)
-            # rotation dofs: body-frame axes (local angular velocity convention)
-            offset = refb - d.xanchor[j]
-            for ax in range(3):
-                axis = d.xmat[b][:, ax]
-                cdofs.append(jnp.concatenate([axis, jnp.cross(axis, offset)]))
-        elif jt == int(JointType.BALL):
-            offset = refb - d.xanchor[j]
-            for ax in range(3):
-                axis = d.xmat[b][:, ax]
-                cdofs.append(jnp.concatenate([axis, jnp.cross(axis, offset)]))
-        elif jt == int(JointType.SLIDE):
-            cdofs.append(jnp.concatenate(
-                [jnp.zeros(3, dtype=dtype), d.xaxis[j]]))
-        elif jt == int(JointType.HINGE):
-            offset = refb - d.xanchor[j]
-            axis = d.xaxis[j]
-            cdofs.append(jnp.concatenate([axis, jnp.cross(axis, offset)]))
-    cdof = (jnp.stack(cdofs) if cdofs
-            else jnp.zeros((0, 6), dtype=dtype))
+    # cdof: fully vectorized over nv via static per-dof kind/axis tables
+    if m.nv:
+        kind, onehot = _dof_meta(m.jnt_type, m.jnt_dofadr, m.dof_jntid)
+        db = np.asarray(m.dof_bodyid, dtype=np.int32)
+        dj = np.asarray(m.dof_jntid, dtype=np.int32)
+        oh = jnp.asarray(onehot, dtype=dtype)
+        offset = ref[db] - d.xanchor[dj]            # (nv, 3)
+        rot_axis = jnp.einsum("vij,vj->vi", d.xmat[db], oh)
+        jaxis = d.xaxis[dj]
+        k = kind[:, None]
+        ang = jnp.where(k == 1, rot_axis, jnp.where(k == 3, jaxis, 0.0))
+        lin = jnp.where(k == 0, oh,
+                        jnp.where(k == 2, jaxis, jnp.cross(ang, offset)))
+        cdof = jnp.concatenate([ang, lin], axis=1)
+    else:
+        cdof = jnp.zeros((0, 6), dtype=dtype)
     return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
 
@@ -215,33 +336,52 @@ def com_pos(m: Model, d: Data) -> Data:
 # ---------------------------------------------------------------------------
 
 def com_vel(m: Model, d: Data) -> Data:
+    """cvel + cdof_dot via a level-order sweep. Per level each body's joints
+    are folded in joint-major order; all four joint types are computed
+    vectorized and mask-selected (matching the sequential per-joint semantics
+    of engine_core_smooth.c mj_comVel)."""
     dtype = d.qpos.dtype
-    cvel = [jnp.zeros(6, dtype=dtype)]
-    cdof_dot = [None] * m.nv
-    for b in range(1, m.nbody):
-        v = cvel[m.body_parentid[b]]
-        for k in range(m.body_jntnum[b]):
-            j = m.body_jntadr[b] + k
-            jt = m.jnt_type[j]
-            adr = m.jnt_dofadr[j]
-            if jt == int(JointType.FREE):
-                for i in range(3):
-                    cdof_dot[adr + i] = jnp.zeros(6, dtype=dtype)
-                v = v + d.cdof[adr:adr + 3].T @ d.qvel[adr:adr + 3]
-                for i in range(3, 6):
-                    cdof_dot[adr + i] = mmath.motion_cross(v, d.cdof[adr + i])
-                v = v + d.cdof[adr + 3:adr + 6].T @ d.qvel[adr + 3:adr + 6]
-            elif jt == int(JointType.BALL):
-                for i in range(3):
-                    cdof_dot[adr + i] = mmath.motion_cross(v, d.cdof[adr + i])
-                v = v + d.cdof[adr:adr + 3].T @ d.qvel[adr:adr + 3]
-            else:
-                cdof_dot[adr] = mmath.motion_cross(v, d.cdof[adr])
-                v = v + d.cdof[adr] * d.qvel[adr]
-        cvel.append(v)
-    cdof_dot = (jnp.stack(cdof_dot) if m.nv
-                else jnp.zeros((0, 6), dtype=dtype))
-    return d.replace(cvel=jnp.stack(cvel), cdof_dot=cdof_dot)
+    meta = _kin_meta(m)
+    cvel = jnp.zeros((m.nbody, 6), dtype=dtype)
+    cdof_dot = jnp.zeros((max(m.nv, 1), 6), dtype=dtype)
+    dofadr = (np.asarray(m.jnt_dofadr, dtype=np.int32)
+              if m.njnt else np.zeros(0, np.int32))
+    FREE, BALL = int(JointType.FREE), int(JointType.BALL)
+
+    for lv in meta.per_level:
+        ids, par = lv["ids"], lv["par"]
+        v = cvel[par]                                 # (W, 6)
+        for jid, jmask_np, jt in lv["joints"]:
+            adr = dofadr[jid]
+            didx = np.minimum(adr[:, None] + np.arange(6), max(m.nv - 1, 0))
+            blk = d.cdof[didx]                        # (W, 6, 6)
+            qv = d.qvel[didx]                         # (W, 6)
+            jnv = np.select([jt == FREE, jt == BALL], [6, 3], 1)
+            # free: translation dofs first, then rotation; others: all dofs
+            trans_mask = ((jt == FREE)[:, None]
+                          & (np.arange(6)[None, :] < 3))        # (W, 6)
+            rot_mask = (np.arange(6)[None, :] < jnv[:, None]) & ~trans_mask
+            tm = jnp.asarray(trans_mask, dtype=dtype)
+            rm = jnp.asarray(rot_mask, dtype=dtype)
+            vmid = v + jnp.einsum("wi,wij->wj", qv * tm, blk)
+            # cdof_dot rows: motion_cross(velocity-so-far, cdof row); for free
+            # joints the rotation rows see the translation contribution (vmid)
+            dots = jax.vmap(lambda vb, rows: jax.vmap(
+                lambda r: mmath.motion_cross(vb, r))(rows))(vmid, blk)
+            dot_mask = rot_mask & jmask_np[:, None]
+            dsc = np.where(dot_mask,
+                           np.minimum(adr[:, None] + np.arange(6), 2**30),
+                           max(m.nv, 1))
+            cdof_dot = cdof_dot.at[dsc].set(
+                jnp.where(jnp.asarray(dot_mask)[:, :, None], dots, 0.0),
+                mode="drop")
+            vout = vmid + jnp.einsum("wi,wij->wj", qv * rm, blk)
+            v = jnp.where(jnp.asarray(jmask_np)[:, None], vout, v)
+        cvel = cvel.at[ids].set(v)
+
+    if not m.nv:
+        cdof_dot = jnp.zeros((0, 6), dtype=dtype)
+    return d.replace(cvel=cvel, cdof_dot=cdof_dot)
 
 
 # ---------------------------------------------------------------------------
@@ -250,10 +390,10 @@ def com_vel(m: Model, d: Data) -> Data:
 
 def crb(m: Model, d: Data) -> Data:
     """Composite rigid body: dense qM = J^T I J specialized by topology masks."""
-    crb_inert = list(d.cinert)
-    for b in range(m.nbody - 1, 0, -1):
-        crb_inert[m.body_parentid[b]] = crb_inert[m.body_parentid[b]] + crb_inert[b]
-    crb_inert = jnp.stack(crb_inert)
+    meta = _kin_meta(m)
+    crb_inert = d.cinert
+    for lv in reversed(meta.per_level):
+        crb_inert = crb_inert.at[lv["par"]].add(crb_inert[lv["ids"]])
 
     if m.nv == 0:
         return d
@@ -288,31 +428,36 @@ def mul_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
 
 def rne(m: Model, d: Data) -> Data:
     dtype = d.qpos.dtype
+    meta = _kin_meta(m)
     gravity = jnp.where(
         bool(m.opt.disableflags & DisableBit.GRAVITY), 0.0, 1.0) * m.opt.gravity
     cacc0 = jnp.concatenate([jnp.zeros(3, dtype=dtype), -gravity.astype(dtype)])
 
-    cacc = [cacc0]
-    for b in range(1, m.nbody):
-        a = cacc[m.body_parentid[b]]
-        adr, n = m.body_dofadr[b], m.body_dofnum[b]
-        if n:
-            a = a + d.cdof_dot[adr:adr + n].T @ d.qvel[adr:adr + n]
-        cacc.append(a)
+    maxdof = max([n for n in m.body_dofnum] + [1])
+    dofadr = np.asarray(m.body_dofadr, dtype=np.int32)
+    dofnum = np.asarray(m.body_dofnum, dtype=np.int32)
 
-    cfrc = []
-    for b in range(m.nbody):
-        fb = (mmath.inert_vec_mul(d.cinert[b], cacc[b])
-              + mmath.force_cross(d.cvel[b],
-                                  mmath.inert_vec_mul(d.cinert[b], d.cvel[b])))
-        cfrc.append(fb)
-    # backward accumulate
-    for b in range(m.nbody - 1, 0, -1):
-        cfrc[m.body_parentid[b]] = cfrc[m.body_parentid[b]] + cfrc[b]
+    cacc = jnp.zeros((m.nbody, 6), dtype=dtype).at[0].set(cacc0)
+    for lv in meta.per_level:
+        ids, par = lv["ids"], lv["par"]
+        a = cacc[par]
+        didx = np.minimum(dofadr[ids][:, None] + np.arange(maxdof),
+                          max(m.nv - 1, 0))
+        mask = jnp.asarray(np.arange(maxdof)[None, :] < dofnum[ids][:, None],
+                           dtype=dtype)
+        a = a + jnp.einsum("wi,wij->wj", d.qvel[didx] * mask, d.cdof_dot[didx])
+        cacc = cacc.at[ids].set(a)
+
+    def one_cfrc(ci, ca, cv):
+        return (mmath.inert_vec_mul(ci, ca)
+                + mmath.force_cross(cv, mmath.inert_vec_mul(ci, cv)))
+
+    cfrc = jax.vmap(one_cfrc)(d.cinert, cacc, d.cvel)
+    for lv in reversed(meta.per_level):
+        cfrc = cfrc.at[lv["par"]].add(cfrc[lv["ids"]])
 
     if m.nv:
         dof_bodyid = np.array(m.dof_bodyid, dtype=np.int32)
-        cfrc = jnp.stack(cfrc)
         qfrc_bias = jnp.einsum("ij,ij->i", d.cdof, cfrc[dof_bodyid])
     else:
         qfrc_bias = jnp.zeros(0, dtype=dtype)
@@ -323,23 +468,30 @@ def rne(m: Model, d: Data) -> Data:
 # tendons (fixed), transmission, passive, actuation
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=128)
+def _tendon_meta(tendon_adr, tendon_num, wrap_objid, jnt_qposadr, jnt_dofadr):
+    """Static wrap→(tendon, qposadr, dofadr) tables for fixed tendons."""
+    nwrap = len(wrap_objid)
+    seg = np.zeros(nwrap, dtype=np.int32)
+    for t, (a, n) in enumerate(zip(tendon_adr, tendon_num)):
+        seg[a:a + n] = t
+    wj = np.asarray(wrap_objid, dtype=np.int32)
+    qadr = np.asarray(jnt_qposadr, dtype=np.int32)[wj]
+    dadr = np.asarray(jnt_dofadr, dtype=np.int32)[wj]
+    return seg, qadr, dadr
+
+
 def tendon(m: Model, d: Data) -> Data:
     if m.ntendon == 0:
         return d
-    dtype = d.qpos.dtype
-    lengths, jrows = [], []
-    for t in range(m.ntendon):
-        L = jnp.zeros((), dtype=dtype)
-        row = jnp.zeros(m.nv, dtype=dtype)
-        for w in range(m.tendon_adr[t], m.tendon_adr[t] + m.tendon_num[t]):
-            j = m.wrap_objid[w]
-            coef = m.wrap_prm[w]
-            L = L + coef * d.qpos[m.jnt_qposadr[j]]
-            row = row.at[m.jnt_dofadr[j]].add(coef)
-        lengths.append(L)
-        jrows.append(row)
-    ten_J = jnp.stack(jrows)
-    return d.replace(ten_length=jnp.stack(lengths), ten_J=ten_J,
+    seg, qadr, dadr = _tendon_meta(m.tendon_adr, m.tendon_num, m.wrap_objid,
+                                   m.jnt_qposadr, m.jnt_dofadr)
+    coef = m.wrap_prm
+    lengths = jax.ops.segment_sum(coef * d.qpos[qadr], seg,
+                                  num_segments=m.ntendon)
+    ten_J = jnp.zeros((m.ntendon, m.nv), dtype=d.qpos.dtype)
+    ten_J = ten_J.at[seg, dadr].add(coef)
+    return d.replace(ten_length=lengths, ten_J=ten_J,
                      ten_velocity=ten_J @ d.qvel)
 
 
@@ -354,49 +506,93 @@ def jac(m: Model, d: Data, point: jax.Array, body: int):
     return jacp, jacr
 
 
+@functools.lru_cache(maxsize=128)
+def _trn_meta(actuator_trntype, actuator_trnid, jnt_type, jnt_qposadr,
+              jnt_dofadr):
+    """Static actuator groups for the vectorized transmission build."""
+    groups = {"jnt1": [], "jntb": [], "jntf": [], "ten": [], "site": []}
+    for i, trn in enumerate(actuator_trntype):
+        tid = actuator_trnid[i][0]
+        if trn in (int(TrnType.JOINT), int(TrnType.JOINTINPARENT)):
+            jt = jnt_type[tid]
+            if jt in (int(JointType.SLIDE), int(JointType.HINGE)):
+                groups["jnt1"].append((i, jnt_qposadr[tid], jnt_dofadr[tid]))
+            elif jt == int(JointType.BALL):
+                groups["jntb"].append((i, jnt_dofadr[tid]))
+            else:
+                groups["jntf"].append((i, jnt_dofadr[tid]))
+        elif trn == int(TrnType.TENDON):
+            groups["ten"].append((i, tid))
+        elif trn == int(TrnType.SITE):
+            groups["site"].append((i, tid))
+        else:
+            raise NotImplementedError(f"transmission type {trn}")
+    return {k: (np.asarray(v, dtype=np.int32) if v
+                else np.zeros((0, 2), dtype=np.int32))
+            for k, v in groups.items()}
+
+
 def transmission(m: Model, d: Data) -> Data:
     if m.nu == 0:
         return d
     dtype = d.qpos.dtype
-    lengths, moments = [], []
-    for i in range(m.nu):
-        trn = m.actuator_trntype[i]
-        gear = m.actuator_gear[i]
-        row = jnp.zeros(m.nv, dtype=dtype)
-        if trn in (int(TrnType.JOINT), int(TrnType.JOINTINPARENT)):
-            j = m.actuator_trnid[i][0]
-            jt = m.jnt_type[j]
-            qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-            if jt in (int(JointType.SLIDE), int(JointType.HINGE)):
-                L = d.qpos[qadr] * gear[0]
-                row = row.at[vadr].set(gear[0])
-            elif jt == int(JointType.BALL):
-                # torque actuation with 3D gear; length undefined → 0
-                L = jnp.zeros((), dtype=dtype)
-                row = row.at[vadr:vadr + 3].set(gear[:3])
-            else:  # FREE: wrench gear (6,)
-                L = jnp.zeros((), dtype=dtype)
-                row = row.at[vadr:vadr + 6].set(gear[:6])
-        elif trn == int(TrnType.TENDON):
-            t = m.actuator_trnid[i][0]
-            L = d.ten_length[t] * gear[0]
-            row = d.ten_J[t] * gear[0]
-        elif trn == int(TrnType.SITE):
-            # wrench gear in the SITE frame applied at the site
-            s = m.actuator_trnid[i][0]
-            jacp, jacr = jac(m, d, d.site_xpos[s], m.site_bodyid[s])
-            wf = d.site_xmat[s] @ gear[:3]
-            wt = d.site_xmat[s] @ gear[3:]
-            row = jacp @ wf + jacr @ wt
-            L = jnp.zeros((), dtype=dtype)
-        else:
-            raise NotImplementedError(f"transmission type {trn}")
-        lengths.append(L)
-        moments.append(row)
-    moment = jnp.stack(moments)
-    return d.replace(actuator_length=jnp.stack(lengths),
-                     actuator_moment=moment,
+    g = _trn_meta(m.actuator_trntype, m.actuator_trnid, m.jnt_type,
+                  m.jnt_qposadr, m.jnt_dofadr)
+    gear = m.actuator_gear
+    length = jnp.zeros(m.nu, dtype=dtype)
+    moment = jnp.zeros((m.nu, m.nv), dtype=dtype)
+
+    if len(g["jnt1"]):
+        i, qa, va = g["jnt1"].T
+        length = length.at[i].set(d.qpos[qa] * gear[i, 0])
+        moment = moment.at[i, va].set(gear[i, 0])
+    if len(g["jntb"]):
+        i, va = g["jntb"].T
+        moment = moment.at[i[:, None], va[:, None] + np.arange(3)].set(
+            gear[i, :3])
+    if len(g["jntf"]):
+        i, va = g["jntf"].T
+        moment = moment.at[i[:, None], va[:, None] + np.arange(6)].set(
+            gear[i, :6])
+    if len(g["ten"]):
+        i, t = g["ten"].T
+        length = length.at[i].set(d.ten_length[t] * gear[i, 0])
+        moment = moment.at[i].set(d.ten_J[t] * gear[i, 0][:, None])
+    if len(g["site"]):
+        i, s = g["site"].T
+        sb = np.asarray(m.site_bodyid, dtype=np.int32)[s]
+        maskj = jnp.asarray(body_dof_mask(m)[:, sb].T, dtype=dtype)  # (W, nv)
+        offset = d.site_xpos[s] - d.subtree_com[
+            np.asarray(m.body_rootid, dtype=np.int32)[sb]]
+        jacp = (d.cdof[None, :, 3:]
+                + jnp.cross(d.cdof[None, :, :3],
+                            offset[:, None, :])) * maskj[:, :, None]
+        jacr = d.cdof[None, :, :3] * maskj[:, :, None]
+        wf = jnp.einsum("wij,wj->wi", d.site_xmat[s], gear[i, :3])
+        wt = jnp.einsum("wij,wj->wi", d.site_xmat[s], gear[i, 3:])
+        rows = (jnp.einsum("wvi,wi->wv", jacp, wf)
+                + jnp.einsum("wvi,wi->wv", jacr, wt))
+        moment = moment.at[i].set(rows)
+
+    return d.replace(actuator_length=length, actuator_moment=moment,
                      actuator_velocity=moment @ d.qvel)
+
+
+@functools.lru_cache(maxsize=128)
+def _spring_meta(jnt_type, jnt_qposadr, jnt_dofadr):
+    """Static joint groups for the vectorized passive-spring build."""
+    g1, gb, gf = [], [], []
+    for j, t in enumerate(jnt_type):
+        row = (j, jnt_qposadr[j], jnt_dofadr[j])
+        if t in (int(JointType.SLIDE), int(JointType.HINGE)):
+            g1.append(row)
+        elif t == int(JointType.BALL):
+            gb.append(row)
+        else:
+            gf.append(row)
+    return tuple(np.asarray(x, dtype=np.int32) if x
+                 else np.zeros((0, 3), dtype=np.int32)
+                 for x in (g1, gb, gf))
 
 
 def passive(m: Model, d: Data) -> Data:
@@ -406,34 +602,52 @@ def passive(m: Model, d: Data) -> Data:
     if m.opt.disableflags & DisableBit.PASSIVE:
         return d.replace(qfrc_passive=jnp.zeros(m.nv, dtype=dtype))
     qfrc = -m.dof_damping * d.qvel
-    for j in range(m.njnt):
-        stiff = m.jnt_stiffness[j]
-        qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-        jt = m.jnt_type[j]
-        if jt in (int(JointType.SLIDE), int(JointType.HINGE)):
-            qfrc = qfrc.at[vadr].add(
-                -stiff * (d.qpos[qadr] - m.qpos_spring[qadr]))
-        elif jt == int(JointType.BALL):
-            dif = mmath.quat_sub(d.qpos[qadr:qadr + 4],
-                                 m.qpos_spring[qadr:qadr + 4])
-            qfrc = qfrc.at[vadr:vadr + 3].add(-stiff * dif)
-        else:  # FREE
-            qfrc = qfrc.at[vadr:vadr + 3].add(
-                -stiff * (d.qpos[qadr:qadr + 3] - m.qpos_spring[qadr:qadr + 3]))
-            dif = mmath.quat_sub(d.qpos[qadr + 3:qadr + 7],
-                                 m.qpos_spring[qadr + 3:qadr + 7])
-            qfrc = qfrc.at[vadr + 3:vadr + 6].add(-stiff * dif)
-    # tendon springs/dampers
-    for t in range(m.ntendon):
+    if m.njnt:
+        g1, gb, gf = _spring_meta(m.jnt_type, m.jnt_qposadr, m.jnt_dofadr)
+        if len(g1):
+            j, qa, va = g1.T
+            qfrc = qfrc.at[va].add(
+                -m.jnt_stiffness[j] * (d.qpos[qa] - m.qpos_spring[qa]))
+        if len(gb):
+            j, qa, va = gb.T
+            dif = _v_quat_sub(d.qpos[qa[:, None] + np.arange(4)],
+                              m.qpos_spring[qa[:, None] + np.arange(4)])
+            qfrc = qfrc.at[va[:, None] + np.arange(3)].add(
+                -m.jnt_stiffness[j][:, None] * dif)
+        if len(gf):
+            j, qa, va = gf.T
+            stiff = m.jnt_stiffness[j][:, None]
+            qfrc = qfrc.at[va[:, None] + np.arange(3)].add(
+                -stiff * (d.qpos[qa[:, None] + np.arange(3)]
+                          - m.qpos_spring[qa[:, None] + np.arange(3)]))
+            dif = _v_quat_sub(d.qpos[qa[:, None] + 3 + np.arange(4)],
+                              m.qpos_spring[qa[:, None] + 3 + np.arange(4)])
+            qfrc = qfrc.at[va[:, None] + 3 + np.arange(3)].add(-stiff * dif)
+    if m.ntendon:
         # spring with optional deadband [lengthspring0, lengthspring1]
-        low, high = m.tendon_lengthspring[t][0], m.tendon_lengthspring[t][1]
-        low = jnp.where(low < 0, m.tendon_length0[t], low)
-        high = jnp.where(high < 0, m.tendon_length0[t], high)
-        L = d.ten_length[t]
-        displ = jnp.where(L > high, high - L, jnp.where(L < low, low - L, 0.0))
-        frc = m.tendon_stiffness[t] * displ - m.tendon_damping[t] * d.ten_velocity[t]
-        qfrc = qfrc + d.ten_J[t] * frc
+        low = jnp.where(m.tendon_lengthspring[:, 0] < 0, m.tendon_length0,
+                        m.tendon_lengthspring[:, 0])
+        high = jnp.where(m.tendon_lengthspring[:, 1] < 0, m.tendon_length0,
+                         m.tendon_lengthspring[:, 1])
+        L = d.ten_length
+        displ = jnp.where(L > high, high - L,
+                          jnp.where(L < low, low - L, 0.0))
+        frc = m.tendon_stiffness * displ - m.tendon_damping * d.ten_velocity
+        qfrc = qfrc + d.ten_J.T @ frc
     return d.replace(qfrc_passive=qfrc)
+
+
+@functools.lru_cache(maxsize=128)
+def _act_clamp_meta(jnt_actfrclimited, jnt_dofadr, nv):
+    """Per-dof total-actuator-force clamp mask (first dof of limited joints,
+    matching mj_fwdActuation's per-joint clamp)."""
+    mask = np.zeros(nv, dtype=bool)
+    jid = np.zeros(nv, dtype=np.int32)
+    for j, lim in enumerate(jnt_actfrclimited):
+        if lim:
+            mask[jnt_dofadr[j]] = True
+            jid[jnt_dofadr[j]] = j
+    return mask, jid
 
 
 def actuation(m: Model, d: Data) -> Data:
@@ -448,23 +662,22 @@ def actuation(m: Model, d: Data) -> Data:
         ctrl = jnp.where(limited,
                          jnp.clip(ctrl, m.actuator_ctrlrange[:, 0],
                                   m.actuator_ctrlrange[:, 1]), ctrl)
-    # activation dynamics
-    act_dot = jnp.zeros(m.na, dtype=dtype)
-    inputs = []
-    for i in range(m.nu):
-        dyn = m.actuator_dyntype[i]
-        if dyn == int(DynType.NONE):
-            inputs.append(ctrl[i])
-        else:
-            a = d.act[m.actuator_actadr[i]]
-            inputs.append(a)
-            if dyn == int(DynType.INTEGRATOR):
-                ad = ctrl[i]
-            else:  # FILTER / FILTEREXACT
-                ad = (ctrl[i] - a) / jnp.maximum(m.actuator_dynprm[i, 0],
-                                                 mmath.MINVAL)
-            act_dot = act_dot.at[m.actuator_actadr[i]].set(ad)
-    inp = jnp.stack(inputs)
+    # activation dynamics, vectorized over actuators via static type masks
+    dyn = np.asarray(m.actuator_dyntype, dtype=np.int32)
+    actadr = np.asarray(m.actuator_actadr, dtype=np.int32)
+    has_act = dyn != int(DynType.NONE)
+    if m.na:
+        a_g = d.act[np.where(has_act, actadr, 0).clip(0, m.na - 1)]
+        inp = jnp.where(jnp.asarray(has_act), a_g, ctrl)
+        ad = jnp.where(jnp.asarray(dyn == int(DynType.INTEGRATOR)), ctrl,
+                       (ctrl - a_g) / jnp.maximum(m.actuator_dynprm[:, 0],
+                                                  mmath.MINVAL))
+        act_dot = jnp.zeros(m.na + 1, dtype=dtype)
+        act_dot = act_dot.at[np.where(has_act, actadr, m.na)].set(
+            ad.astype(dtype), mode="drop")[:m.na]
+    else:
+        inp = ctrl
+        act_dot = jnp.zeros(0, dtype=dtype)
 
     gaintype = np.array(m.actuator_gaintype)
     biastype = np.array(m.actuator_biastype)
@@ -482,11 +695,11 @@ def actuation(m: Model, d: Data) -> Data:
     qfrc = d.actuator_moment.T @ force
 
     # clamp total actuator force at joints (jnt_actfrclimited)
-    for j in range(m.njnt):
-        if m.jnt_actfrclimited[j]:
-            vadr = m.jnt_dofadr[j]
-            qfrc = qfrc.at[vadr].set(jnp.clip(
-                qfrc[vadr], m.jnt_actfrcrange[j, 0], m.jnt_actfrcrange[j, 1]))
+    cmask, cjid = _act_clamp_meta(m.jnt_actfrclimited, m.jnt_dofadr, m.nv)
+    if cmask.any():
+        lo = m.jnt_actfrcrange[cjid, 0]
+        hi = m.jnt_actfrcrange[cjid, 1]
+        qfrc = jnp.where(jnp.asarray(cmask), jnp.clip(qfrc, lo, hi), qfrc)
     return d.replace(actuator_force=force, qfrc_actuator=qfrc, act_dot=act_dot)
 
 
