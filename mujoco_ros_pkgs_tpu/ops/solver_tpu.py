@@ -61,8 +61,11 @@ def supports(efc, nv: int) -> bool:
     reference jnp path: the kernel unrolls feature loops, so its Mosaic
     program grows with nefc·nv — beyond nv=16 the dense-matmul jnp path is
     the better TPU program (MXU-tiled batched Cholesky) anyway."""
+    # VMEM budget: the kernel unrolls the whole Newton solve, so Mosaic's
+    # scoped-stack footprint grows with nefc (measured: nefc=100, nv=7 needs
+    # 24 MiB > the 16 MiB scoped limit on v5e; nefc<=64 fits comfortably).
     return (all(dim in (1, 3, 4, 6) for dim in efc.con_dim)
-            and 1 <= len(efc.kinds) <= 128 and nv <= 16)
+            and 1 <= len(efc.kinds) <= 64 and nv <= 16)
 
 
 # ---------------------------------------------------------------------------
@@ -465,6 +468,14 @@ def solve_batched(kinds: Tuple[str, ...],
     kernel = _make_kernel(nv, kinds, con_base, niter, nls, warmstart)
     nblk = B // _ENV_BLOCK
 
+    # under shard_map's manual-axes discipline (check_vma=True) pallas_call
+    # outputs must declare their varying mesh axes; inherit them from an input
+    try:
+        vma = tuple(jax.typeof(J_t).vma)
+    except Exception:
+        vma = ()
+    shp_kw = dict(vma=vma) if vma else {}
+
     def spec(feat):
         # index_map returns BLOCK indices: block i covers env tiles [8i, 8i+8)
         return pl.BlockSpec((feat, 8, 128), lambda i: (0, i, 0),
@@ -481,9 +492,10 @@ def solve_batched(kinds: Tuple[str, ...],
                   spec(nefc), spec(ncon * 5), spec(nv * nv), spec(nv),
                   spec(nv)],
         out_specs=[spec(nv), spec(nv), spec(nefc)],
-        out_shape=[jax.ShapeDtypeStruct((nv, B // 128, 128), dtype),
-                   jax.ShapeDtypeStruct((nv, B // 128, 128), dtype),
-                   jax.ShapeDtypeStruct((nefc, B // 128, 128), dtype)],
+        out_shape=[jax.ShapeDtypeStruct((nv, B // 128, 128), dtype, **shp_kw),
+                   jax.ShapeDtypeStruct((nv, B // 128, 128), dtype, **shp_kw),
+                   jax.ShapeDtypeStruct((nefc, B // 128, 128), dtype,
+                                        **shp_kw)],
     )(tol_s, J_t, aref_t, D_t, floss_t, act_t, mu_t, M_t, a_s_t, ws_t)
 
     def untile(x, feat):

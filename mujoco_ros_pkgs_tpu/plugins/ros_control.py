@@ -12,10 +12,19 @@ gains from config (:195-214), joint-limit enforcement (:340-446), readSim
   VELOCITY_PID  → PID on velocity error
 E-stop freezes position commands / zeroes efforts (:251-260,272,307). The
 hosting plugin enforces a control-period decimation inside mjcb_control
-(mujoco_ros_control/src/mujoco_ros_control_plugin.cpp:153-194).
+(mujoco_ros_control/src/mujoco_ros_control_plugin.cpp:153-194), blocks on a
+URDF robot_description, and parses its transmissions (:198-232); URDF
+hard+soft joint limits are enforced via joint_limits_interface
+saturation/soft-limit handles (default_robot_hw_sim.cpp:340-446). Both are
+implemented here: config may carry a `robot_description` URDF whose
+transmissions define the joint table, and `<safety_controller>` soft limits
+are enforced with the joint_limits_interface equations (velocity bounds
+-k_position*(q - soft_bound), effort bounds -k_velocity*(v - vel_bound)).
 
 Commands are set host-side (server control plane) and consumed in-graph; PID
-integrator/previous-error live in the plugin state pytree.
+integrator/previous-error live in the plugin state pytree. All joint writes
+are static-group vectorized scatters — graph size does not grow with the
+joint count.
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ import jax.numpy as jnp
 
 from mujoco_ros_pkgs_tpu.core.types import Data, JointType, Model
 from mujoco_ros_pkgs_tpu.plugins.base import MujocoPlugin
+from mujoco_ros_pkgs_tpu.plugins import urdf as urdf_mod
 
 
 class ControlMethod(enum.IntEnum):
@@ -38,29 +48,59 @@ class ControlMethod(enum.IntEnum):
     VELOCITY_PID = 4
 
 
+_EFFORT_CHANNEL = (int(ControlMethod.EFFORT), int(ControlMethod.POSITION_PID),
+                   int(ControlMethod.VELOCITY_PID))
+
+
 class RosControlPlugin(MujocoPlugin):
     """config = {
+        # EITHER a URDF whose <transmission> elements define the joints
+        # (reference: mujoco_ros_control_plugin.cpp:198-232) ...
+        "robot_description": "<robot ...>...</robot>" | "/path/robot.urdf",
+        "pid_gains": {joint: [p, i, d, i_clamp]},   # upgrades POS/VEL -> *_PID
+        # ... OR (additionally: overrides URDF entries) a hand-written table:
         "joints": {name: {"method": "POSITION_PID",
                           "pid": [p, i, d, i_clamp],
                           "effort_limit": float,
                           "position_limits": [lo, hi],
-                          "velocity_limit": float}},
+                          "velocity_limit": float,
+                          "soft_limits": {"lower": .., "upper": ..,
+                                           "k_position": .., "k_velocity": ..}}},
         "control_period": float (default: model timestep),
     }"""
 
     def load(self, m: Model, d: Data) -> bool:
         self._m = m
-        cfg = self.config.get("joints", {})
+        cfg: Dict[str, dict] = {}
+        desc = self.config.get("robot_description")
+        if desc:
+            try:
+                urdf = urdf_mod.parse_urdf(desc)
+                cfg.update(urdf_mod.joints_config_from_urdf(
+                    urdf, self.config.get("pid_gains")))
+            except ValueError as exc:
+                self.load_error = str(exc)
+                return False
+        cfg.update(self.config.get("joints", {}))
         if not cfg:
-            self.load_error = "no joints configured"
+            self.load_error = ("no joints configured (neither "
+                               "robot_description transmissions nor a "
+                               "'joints' table)")
             return False
         self.joint_ids = []
         self.dof_adr = []
         self.qpos_adr = []
         self.methods = []
         pid, eff_lim, pos_lim, vel_lim = [], [], [], []
+        soft = []
         for name, jc in cfg.items():
-            j = m.joint(name)
+            try:
+                j = m.joint(name)
+            except ValueError:
+                self.load_error = (f"joint '{name}' (from a URDF transmission "
+                                   f"or joints table) does not exist in the "
+                                   f"MJCF model")
+                return False
             if m.jnt_type[j] not in (int(JointType.HINGE), int(JointType.SLIDE)):
                 self.load_error = f"joint '{name}' is not 1-dof"
                 return False
@@ -70,13 +110,21 @@ class RosControlPlugin(MujocoPlugin):
             self.methods.append(int(ControlMethod[jc.get("method", "EFFORT")]))
             pid.append(jc.get("pid", [0.0, 0.0, 0.0, 0.0]))
             eff_lim.append(jc.get("effort_limit", np.inf))
-            pos_lim.append(jc.get("position_limits",
-                                  [-np.inf, np.inf]))
+            pos_lim.append(jc.get("position_limits", [-np.inf, np.inf]))
             vel_lim.append(jc.get("velocity_limit", np.inf))
+            sl = jc.get("soft_limits")
+            if sl:
+                soft.append([1.0, sl.get("lower", -np.inf),
+                             sl.get("upper", np.inf),
+                             sl.get("k_position", 0.0),
+                             sl.get("k_velocity", 0.0)])
+            else:
+                soft.append([0.0, -np.inf, np.inf, 0.0, 0.0])
         self.pid = np.array(pid)                       # (nj, 4)
         self.eff_lim = np.array(eff_lim)
         self.pos_lim = np.array(pos_lim)
         self.vel_lim = np.array(vel_lim)
+        self.soft = np.array(soft)                     # (nj, 5)
         self.control_period = float(self.config.get(
             "control_period", float(np.asarray(m.opt.timestep))))
         return True
@@ -101,7 +149,6 @@ class RosControlPlugin(MujocoPlugin):
     # -- in-graph --
     def control(self, m: Model, d: Data, ps: Any) -> Tuple[Data, Any]:
         dtype = d.qpos.dtype
-        nj = len(self.joint_ids)
         dofs = np.array(self.dof_adr)
         qadrs = np.array(self.qpos_adr)
         q = d.qpos[qadrs].astype(dtype)
@@ -142,28 +189,50 @@ class RosControlPlugin(MujocoPlugin):
         pid_out = pid_p * err + pid_i * integral + pid_d * deriv
         pid_out = jnp.clip(pid_out, -eff_lim, eff_lim)
 
-        for k in range(nj):
-            mth = methods[k]
-            dof, qadr = int(dofs[k]), int(qadrs[k])
-            if mth == int(ControlMethod.EFFORT):
-                e = jnp.clip(cmd[k], -eff_lim[k], eff_lim[k])
-                e = jnp.where(estop, 0.0, e)
-                qfrc = qfrc.at[dof].set(e)
-            elif mth == int(ControlMethod.POSITION):
-                tgt = jnp.clip(cmd[k], pos_lo[k], pos_hi[k])
-                tgt = jnp.where(estop, q[k], tgt)   # freeze on e-stop
-                qpos = qpos.at[qadr].set(tgt)
-                qvel = qvel.at[dof].set(0.0)
-            elif mth == int(ControlMethod.POSITION_PID):
-                e = jnp.where(estop, 0.0, pid_out[k])
-                qfrc = qfrc.at[dof].set(e)
-            elif mth == int(ControlMethod.VELOCITY):
-                tgt = jnp.clip(cmd[k], -vel_lim[k], vel_lim[k])
-                tgt = jnp.where(estop, 0.0, tgt)
-                qvel = qvel.at[dof].set(tgt)
-            elif mth == int(ControlMethod.VELOCITY_PID):
-                e = jnp.where(estop, 0.0, pid_out[k])
-                qfrc = qfrc.at[dof].set(e)
+        # joint_limits_interface soft-limit bounds (URDF <safety_controller>,
+        # default_robot_hw_sim.cpp:340-446): position error bounds velocity,
+        # velocity error bounds effort
+        has_soft = self.soft[:, 0] > 0.5               # static np mask
+        soft_lo = jnp.asarray(self.soft[:, 1], dtype=dtype)
+        soft_hi = jnp.asarray(self.soft[:, 2], dtype=dtype)
+        k_p_lim = jnp.asarray(self.soft[:, 3], dtype=dtype)
+        k_v_lim = jnp.asarray(self.soft[:, 4], dtype=dtype)
+        vel_min = jnp.clip(-k_p_lim * (q - soft_lo), -vel_lim, vel_lim)
+        vel_max = jnp.clip(-k_p_lim * (q - soft_hi), -vel_lim, vel_lim)
+        eff_min = jnp.clip(-k_v_lim * (v - vel_min), -eff_lim, eff_lim)
+        eff_max = jnp.clip(-k_v_lim * (v - vel_max), -eff_lim, eff_lim)
+
+        # ---- effort channel (EFFORT + both PID modes), vectorized ----
+        is_direct_eff = methods == int(ControlMethod.EFFORT)
+        e_all = jnp.where(jnp.asarray(is_direct_eff),
+                          jnp.clip(cmd, -eff_lim, eff_lim), pid_out)
+        e_all = jnp.where(jnp.asarray(has_soft),
+                          jnp.clip(e_all, eff_min, eff_max), e_all)
+        e_all = jnp.where(estop, 0.0, e_all)
+        eff_g = np.nonzero(np.isin(methods, _EFFORT_CHANNEL))[0]
+        if eff_g.size:
+            qfrc = qfrc.at[dofs[eff_g]].set(e_all[eff_g])
+
+        # ---- POSITION: direct write, qvel zeroed; e-stop freezes ----
+        pos_g = np.nonzero(methods == int(ControlMethod.POSITION))[0]
+        if pos_g.size:
+            dtc = jnp.asarray(self.control_period, dtype=dtype)
+            tgt = jnp.clip(cmd, pos_lo, pos_hi)
+            tgt = jnp.where(jnp.asarray(has_soft),
+                            jnp.clip(tgt, q + vel_min * dtc,
+                                     q + vel_max * dtc), tgt)
+            tgt = jnp.where(estop, q, tgt)
+            qpos = qpos.at[qadrs[pos_g]].set(tgt[pos_g])
+            qvel = qvel.at[dofs[pos_g]].set(0.0)
+
+        # ---- VELOCITY: direct write; e-stop zeroes ----
+        vel_g = np.nonzero(methods == int(ControlMethod.VELOCITY))[0]
+        if vel_g.size:
+            vt = jnp.clip(cmd, -vel_lim, vel_lim)
+            vt = jnp.where(jnp.asarray(has_soft),
+                           jnp.clip(vt, vel_min, vel_max), vt)
+            vt = jnp.where(estop, 0.0, vt)
+            qvel = qvel.at[dofs[vel_g]].set(vt[vel_g])
 
         nps = dict(ps, integral=integral, prev_err=prev_err,
                    last_update=last_update)
