@@ -256,7 +256,7 @@ def _solve_dispatch_tpu(m: Model, d: Data, efc: Efc) -> Data:
                      qacc_warmstart=x)
 
 
-def _solve_jnp(m: Model, d: Data, efc: Efc) -> Data:
+def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
     dtype = d.qpos.dtype
     a_s = d.qacc_smooth
     M = d.qM
@@ -366,12 +366,47 @@ def _solve_jnp(m: Model, d: Data, efc: Efc) -> Data:
     # "varying" under shard_map's manual-axes type checks, and skips the
     # solve outright on NaN input
     done0 = jnp.any(jnp.isnan(x0))
-    (x, _, _) = jax.lax.while_loop(
+    (x, _, it_final) = jax.lax.while_loop(
         newton_cond, newton_step,
         (x0, done0, jnp.zeros((), dtype=jnp.int32)))
 
     jar = J @ x - efc.aref
     f, _, _, _ = _forces_and_weights(m, efc, jar)
     qfrc = J.T @ f
+    if _stats_sink is not None:
+        _stats_sink["iterations"] = it_final
+        grad = M @ (x - a_s) - J.T @ f
+        _stats_sink["grad_norm"] = jnp.linalg.norm(grad)
+        _stats_sink["cost"] = cost_at(x)
     return d.replace(qacc=x, qfrc_constraint=qfrc, efc_force_contact=f,
                      qacc_warmstart=x)
+
+
+def solve_stats(m: Model, d: Data) -> dict:
+    """Diagnostic re-solve of ONE env's constraint problem: realized Newton
+    iterations, final gradient norm and cost — the data behind the reference
+    viewer's solver profiler figures (mjData.solver_iter; viewer.h:267-271).
+    Host-side eager call on a single env; never part of the step graph."""
+    from mujoco_ros_pkgs_tpu.ops import constraint as cmod
+    from mujoco_ros_pkgs_tpu.ops import efc as efcmod
+
+    if not cmod._has_constraints(m):
+        return {"iterations": 0, "grad_norm": 0.0, "cost": 0.0}
+
+    fn = _stats_cache.get(id(m))
+    if fn is None:
+        _stats_cache.clear()   # one live model per server; avoid leaks
+
+        def run(dd):
+            sink: dict = {}
+            _solve_jnp(m, dd, efcmod.make_efc(m, dd), _stats_sink=sink)
+            return sink["iterations"], sink["grad_norm"], sink["cost"]
+        fn = jax.jit(run)
+        _stats_cache[id(m)] = fn
+    it, gn, c = fn(d)
+    return {"iterations": int(np.asarray(it)),
+            "grad_norm": float(np.asarray(gn)),
+            "cost": float(np.asarray(c))}
+
+
+_stats_cache: dict = {}

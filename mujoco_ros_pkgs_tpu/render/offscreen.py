@@ -111,9 +111,12 @@ class OffscreenCameraStream:
             if "depth" in msg:
                 png.write(f"{stem}_env{env}_depth.png", msg["depth"][i])
             if "segmented" in msg:
-                seg8 = (msg["segmented"][i].astype(np.int32) + 1
-                        ).astype(np.uint8)
-                png.write(f"{stem}_env{env}_seg.png", seg8)
+                # 16-bit grayscale: ids wrap at 255 in uint8 for models with
+                # >=255 geoms (+ marker ids beyond ngeom); uint16 holds every
+                # realistic id (-1 background maps to 0)
+                seg16 = (msg["segmented"][i].astype(np.int32) + 1
+                         ).astype(np.uint16)
+                png.write(f"{stem}_env{env}_seg.png", seg16)
 
 
 class OffscreenRenderManager:

@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fold a single process's devices into N virtual "
                          "host rows (testing without a pod)")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--log-level", default="",
+                    help="per-subsystem log levels, e.g. "
+                         "'server=debug,render=error' or a bare default "
+                         "level like 'info' (the rosconsole.config analogue)")
+    ap.add_argument("--watch-port", type=int, default=-1,
+                    help="serve a live HTTP view of env 0 on this port "
+                         "(0 = ephemeral; the headless viewer-window "
+                         "replacement). Requires a model camera.")
     ap.add_argument("--profile-dir", default="",
                     help="write a jax.profiler trace of the run here "
                          "(the reference's profile:=true CPUPROFILE hook, "
@@ -118,6 +126,16 @@ def make_plugins(cfg: dict):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from mujoco_ros_pkgs_tpu.utils import backend
+    from mujoco_ros_pkgs_tpu.utils import log as log_mod
+    if args.log_level:
+        if "=" in args.log_level:
+            log_mod.configure(log_mod.parse_level_spec(args.log_level))
+        else:
+            log_mod.configure(default_level=args.log_level)
+    elif args.verbose:
+        log_mod.configure(default_level="INFO")
+    else:
+        log_mod.configure()
     backend.ensure_cpu_backend()
     import jax.numpy as jnp
     from mujoco_ros_pkgs_tpu.server import MujocoServer
@@ -166,6 +184,12 @@ def main(argv=None) -> int:
     if args.profile_dir:
         import jax
         jax.profiler.start_trace(args.profile_dir)
+
+    if args.watch_port >= 0:
+        res = srv.start_watch(port=args.watch_port)
+        msg = res.status_message
+        print(f"live view: {'http://0.0.0.0:' + msg if res.success else msg}",
+              file=sys.stderr)
 
     srv.start_physics_loop()
     if args.verbose:

@@ -34,7 +34,10 @@ import jax
 import jax.numpy as jnp
 
 from mujoco_ros_pkgs_tpu.core import mjcf
-from mujoco_ros_pkgs_tpu.core.types import Data, EqType, JointType, Model
+from mujoco_ros_pkgs_tpu.core.types import (
+    ConeType, Data, EqType, IntegratorType, JointType, Model, SolverType,
+)
+from mujoco_ros_pkgs_tpu.utils.log import get_logger
 from mujoco_ros_pkgs_tpu.msgs import (
     BodyState, EqualityConstraintParameters, GeomProperties, MocapState, Pose,
     ServiceResult, SolverParameters, StateUint, StepGoal, StepResult, Twist,
@@ -107,6 +110,8 @@ class MujocoServer:
             self.mesh = multihost.make_host_env_mesh(n_hosts=mesh_hosts)
             self.coord = multihost.HostCoordinator()
         self._admin_hash = admin_hash
+        self._log = get_logger("server")
+        self._watch = None
         self.nenv = int(nenv)
         self.dtype = dtype
         # broadphase top-k compaction knob (ops/broadphase.py; 0 = exact
@@ -257,6 +262,15 @@ class MujocoServer:
 
         self._status = STATUS_RUNNING
         self._load_error = ""
+        self._runtime_model_edits = False
+        quarantined = [p.__class__.__name__ for p in self.registry.plugins
+                       if p not in self.registry.cb_ready] \
+            if hasattr(self.registry, "plugins") else []
+        self._log.info(
+            "model '%s' loaded: nenv=%d nbody=%d nv=%d ncam=%d plugins=%d%s",
+            m.name or "<inline>", self.nenv, m.nbody, m.nv, m.ncam,
+            len(self.registry.cb_ready),
+            f" QUARANTINED={quarantined}" if quarantined else "")
 
     def _broadcast_pstates(self, pstates1):
         return jax.tree_util.tree_map(
@@ -666,6 +680,7 @@ class MujocoServer:
             except Exception as exc:
                 self._load_error = str(exc)
                 self._status = STATUS_RUNNING   # rollback: old model intact
+                self._log.error("reload failed (old model kept): %s", exc)
                 return ServiceResult(False, self._load_error)
             self._install_model(m, source)
         return ServiceResult(True, "")
@@ -865,6 +880,7 @@ class MujocoServer:
             if updates or set_type:
                 newm = constants.set_constants(newm)
                 self.m = self._replicate_model(newm)
+                self._runtime_model_edits = True
                 for p in self.registry.cb_ready:
                     p.on_geom_changed(newm, g)
         return ServiceResult(True, "")
@@ -883,6 +899,82 @@ class MujocoServer:
                             tuple(np.asarray(gravity).tolist()), admin_hash)
             self.m = self._replicate_model(self.m.replace(opt=self.m.opt.replace(
                 gravity=jnp.asarray(np.asarray(gravity, dtype=np.float64)))))
+            self._runtime_model_edits = True
+        return ServiceResult(True, "")
+
+    # -- physics options (viewer Sync's mjModel.opt editing,
+    #    viewer.cpp:1552-1871, as a service) ----------------------------
+
+    _OPT_ARRAY_FIELDS = ("timestep", "gravity", "wind", "magnetic", "density",
+                         "viscosity", "impratio", "o_margin", "tolerance",
+                         "ls_tolerance")
+    _OPT_STATIC_FIELDS = ("integrator", "cone", "solver", "iterations",
+                          "ls_iterations", "disableflags")
+
+    def get_physics_properties(self) -> dict:
+        """Current mjModel.opt as a plain dict (enums by name)."""
+        o = self.m.opt
+        out = {f: np.asarray(getattr(o, f)).tolist()
+               for f in self._OPT_ARRAY_FIELDS}
+        out.update(integrator=IntegratorType(o.integrator).name,
+                   cone=ConeType(o.cone).name,
+                   solver=SolverType(o.solver).name,
+                   iterations=int(o.iterations),
+                   ls_iterations=int(o.ls_iterations),
+                   disableflags=int(o.disableflags))
+        return out
+
+    def set_physics_properties(self, props: dict,
+                               admin_hash: str = "") -> ServiceResult:
+        """Edit mjModel.opt on a running server — the operator surface the
+        reference exposes through the viewer's option section + Sync
+        (viewer.cpp:1552-1871). Array-valued fields (timestep, wind, ...)
+        apply without retracing; structural fields (integrator, cone, solver,
+        iterations, disableflags) retrace the step on next use, and a cone
+        change rebuilds the efc row layout (pyramidal facets vs elliptic
+        blocks change nefc)."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        unknown = [k for k in props
+                   if k not in self._OPT_ARRAY_FIELDS
+                   and k not in self._OPT_STATIC_FIELDS]
+        if unknown:
+            return ServiceResult(False, f"unknown option fields: {unknown}")
+        with self._lock:
+            self._originate("set_physics_properties", dict(props), admin_hash)
+            o = self.m.opt
+            old_cone = o.cone
+            upd = {}
+            try:
+                for k, v in props.items():
+                    if k in self._OPT_ARRAY_FIELDS:
+                        cur = np.asarray(getattr(o, k))
+                        arr = np.asarray(v, dtype=np.float64).reshape(cur.shape)
+                        upd[k] = jnp.asarray(arr)
+                    elif k in ("integrator", "cone", "solver"):
+                        enum_t = {"integrator": IntegratorType,
+                                  "cone": ConeType,
+                                  "solver": SolverType}[k]
+                        upd[k] = int(enum_t[v.upper()] if isinstance(v, str)
+                                     else enum_t(int(v)))
+                    else:
+                        upd[k] = int(v)
+            except (KeyError, ValueError) as exc:
+                return ServiceResult(False, f"bad option value: {exc}")
+            newm = self.m.replace(opt=o.replace(**upd))
+            if int(newm.opt.cone) != int(old_cone):
+                # efc row structure changes with the cone type: rebuild the
+                # contact-force buffer exactly like the set_geom_properties
+                # set_type path
+                from mujoco_ros_pkgs_tpu.ops import efc as efcmod
+                nefc = max(efcmod.row_layout(newm)["nrow"], 1)
+                self.d = self.d.replace(
+                    efc_force_contact=self._bcast_env(
+                        np.zeros(nefc), dtype=self.d.qpos.dtype))
+            self.m = self._replicate_model(newm)
+            self._runtime_model_edits = True
+            self._log.info("physics options updated: %s", sorted(props))
         return ServiceResult(True, "")
 
     # -- equality constraints -----------------------------------------
@@ -1113,6 +1205,55 @@ class MujocoServer:
             png.write(path, np.asarray(rgb))
         return ServiceResult(True, path or "rendered (no path given)")
 
+    def start_watch(self, port: int = 0, cam_name: str = "", env_id: int = 0,
+                    fps: float = 10.0, width: int = 480,
+                    height: int = 320) -> ServiceResult:
+        """Continuous live view of the running sim over HTTP (multipart PNG
+        stream) — the headless replacement for watching the reference's GLFW
+        viewer window (viewer.cpp RenderLoop, :2262-2383). Returns the bound
+        port in the message; browse to http://host:port/."""
+        from mujoco_ros_pkgs_tpu.render import camera as rcam
+        from mujoco_ros_pkgs_tpu.server.watch import WatchServer
+        if self._watch is not None:
+            return ServiceResult(False, f"watch already at :{self._watch.port}")
+        if self.m.ncam == 0:
+            return ServiceResult(False, "model has no cameras")
+        if not cam_name:
+            cam_name = self.m.cam_names[0]
+        try:
+            cid = self.m.cam_names.index(cam_name)
+        except ValueError:
+            return ServiceResult(False, f"no camera named '{cam_name}'")
+
+        render_cache = {}
+
+        def frame():
+            with self._lock:
+                d1 = self._env_slice(env_id)
+                model = self.m
+            key = id(model)
+            fn = render_cache.get(key)
+            if fn is None:
+                render_cache.clear()
+                fn = jax.jit(lambda dd: rcam.render(model, dd, cid,
+                                                    width, height))
+                render_cache[key] = fn
+            rgb, _, _ = fn(d1)
+            return np.asarray(rgb, dtype=np.uint8)
+
+        try:
+            self._watch = WatchServer(frame, port=port, fps=fps)
+        except OSError as exc:
+            return ServiceResult(False, f"watch bind failed: {exc}")
+        return ServiceResult(True, str(self._watch.port))
+
+    def stop_watch(self) -> ServiceResult:
+        if self._watch is None:
+            return ServiceResult(False, "no watch running")
+        self._watch.stop()
+        self._watch = None
+        return ServiceResult(True, "")
+
     def apply_body_wrench(self, name: str, force=(0.0, 0.0, 0.0),
                           torque=(0.0, 0.0, 0.0), env_id: Optional[int] = None,
                           admin_hash: str = "") -> ServiceResult:
@@ -1154,7 +1295,14 @@ class MujocoServer:
         return ServiceResult(True, "")
 
     def save_xml(self, path: str, admin_hash: str = "") -> ServiceResult:
-        """Save the current model XML (viewer save_xml, viewer.h:169-177)."""
+        """Save the model XML (viewer save_xml, viewer.h:169-177).
+
+        NOTE: this writes the LOAD-TIME source document. Runtime edits made
+        through services (set_geom_properties, set_physics_properties, ...)
+        live in the compiled Model only and are NOT serialized back — the
+        ServiceResult message says so whenever such edits exist. (The
+        reference serializes the live mjModel via mj_saveLastXML; a full
+        Model->MJCF writer is tracked as future work.)"""
         err = self._check_hash(admin_hash)
         if err:
             return err
@@ -1170,6 +1318,10 @@ class MujocoServer:
                 f.write(src)
         except OSError as exc:
             return ServiceResult(False, str(exc))
+        if getattr(self, "_runtime_model_edits", False):
+            return ServiceResult(
+                True, f"{path} (load-time source; runtime model edits via "
+                      f"set_geom/physics/gravity services are NOT serialized)")
         return ServiceResult(True, path)
 
     def save_mjb(self, path: str, admin_hash: str = "") -> ServiceResult:
@@ -1203,6 +1355,12 @@ class MujocoServer:
             active = dist < incm
             fc = self._np(self.d.efc_force_contact)[env_id]
             qfc = self._np(self.d.qfrc_constraint)[env_id]
+            # realized solver work: a diagnostic single-env re-solve that
+            # counts actual Newton iterations (the reference profiler plots
+            # mjData.solver_iter, not the limit)
+            from mujoco_ros_pkgs_tpu.ops import solver as solver_mod
+            d1 = self._env_slice(env_id)
+            sstats = solver_mod.solve_stats(self.m, d1)
             return {
                 "ncon_capacity": int(dist.shape[0]),
                 "ncon_active": int(active.sum()),
@@ -1213,6 +1371,9 @@ class MujocoServer:
                 "measured_slowdown": float(self.measured_slowdown),
                 "sim_time": self.sim_time,
                 "solver_iterations_limit": int(self.m.opt.iterations),
+                "solver_iterations_realized": int(sstats["iterations"]),
+                "solver_grad_norm": float(sstats.get("grad_norm", 0.0)),
+                "solver_cost": float(sstats.get("cost", 0.0)),
                 "nefc": int(fc.shape[0]),
                 # pairs the broadphase top-k compaction dropped while their
                 # bounding volumes overlapped (0 = contact set exact;
