@@ -213,11 +213,11 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
         wquat[i] = _quat_mul(wquat[p], bodies[i].quat)
         wpos[i] = wpos[p] + _quat_rot(bodies[i].pos, wquat[p])
 
-    # ---------------- tendons (fixed) ----------------
+    # ---------------- tendons (fixed + spatial) ----------------
     ten_elems = []
     for te in root.iter("tendon"):
         for fe in te:
-            if fe.tag == "fixed":
+            if fe.tag in ("fixed", "spatial"):
                 ten_elems.append(fe)
     ntendon = len(ten_elems)
     tendon_adr, tendon_num, tendon_limited = [], [], []
@@ -237,11 +237,56 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
         tendon_names.append(fe.get("name", ""))
         tendon_adr.append(len(wrap_type))
         cnt = 0
+        _site_names = [s.name for s in sites]
+        _geom_names = [g.name for g in geoms]
         for we in fe:
-            if we.tag == "joint":
+            if we.tag == "joint":          # fixed tendon entry
                 wrap_type.append(int(WrapType.JOINT))
                 wrap_objid.append(jnt_names_list.index(we.get("joint")))
                 wrap_prm.append(float(we.get("coef")))
+                cnt += 1
+            elif we.tag == "site":         # spatial path via a site
+                wrap_type.append(int(WrapType.SITE))
+                try:
+                    wrap_objid.append(_site_names.index(we.get("site")))
+                except ValueError:
+                    raise ValueError(
+                        f"tendon '{fe.get('name', '')}': unknown site "
+                        f"'{we.get('site')}'")
+                wrap_prm.append(0.0)
+                cnt += 1
+            elif we.tag == "geom":         # sphere/cylinder wrap obstacle
+                try:
+                    gid = _geom_names.index(we.get("geom"))
+                except ValueError:
+                    raise ValueError(
+                        f"tendon '{fe.get('name', '')}': unknown wrap geom "
+                        f"'{we.get('geom')}'")
+                gt = geoms[gid].type
+                if gt == int(GeomType.SPHERE):
+                    wrap_type.append(int(WrapType.SPHERE))
+                elif gt == int(GeomType.CYLINDER):
+                    wrap_type.append(int(WrapType.CYLINDER))
+                else:
+                    raise ValueError(
+                        f"tendon '{fe.get('name', '')}': wrap geom "
+                        f"'{we.get('geom')}' must be a sphere or cylinder")
+                wrap_objid.append(gid)
+                ss = we.get("sidesite")
+                if ss is not None:
+                    try:
+                        wrap_prm.append(float(_site_names.index(ss)))
+                    except ValueError:
+                        raise ValueError(
+                            f"tendon '{fe.get('name', '')}': unknown "
+                            f"sidesite '{ss}'")
+                else:
+                    wrap_prm.append(-1.0)
+                cnt += 1
+            elif we.tag == "pulley":       # branch divisor
+                wrap_type.append(int(WrapType.PULLEY))
+                wrap_objid.append(-1)
+                wrap_prm.append(float(we.get("divisor", "1")))
                 cnt += 1
         tendon_num.append(cnt)
         tendon_limited.append(_tri(fe, "limited", comp.autolimits,
@@ -671,6 +716,14 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
         tendon_invweight0=J(np.zeros(ntendon)),
         wrap_type=tuple(wrap_type), wrap_objid=tuple(wrap_objid),
         wrap_prm=J(np.array(wrap_prm) if wrap_prm else np.zeros(0)),
+        # static spatial-tendon structure: sidesite ids for sphere/cylinder
+        # entries (else -1), pulley divisors (else 1.0)
+        wrap_sidesite=tuple(
+            int(p) if t in (int(WrapType.SPHERE), int(WrapType.CYLINDER))
+            else -1 for t, p in zip(wrap_type, wrap_prm)),
+        wrap_divisor=tuple(
+            float(p) if t == int(WrapType.PULLEY) else 1.0
+            for t, p in zip(wrap_type, wrap_prm)),
         actuator_trntype=tuple(a_trntype), actuator_dyntype=tuple(a_dyntype),
         actuator_gaintype=tuple(a_gaintype), actuator_biastype=tuple(a_biastype),
         actuator_trnid=tuple(a_trnid), actuator_actadr=tuple(a_actadr),

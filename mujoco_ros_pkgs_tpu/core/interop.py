@@ -192,6 +192,17 @@ def model_from_mujoco(mm, dtype=None, pair_topk: int = 0) -> types.Model:
         tendon_invweight0=J(mm.tendon_invweight0),
         wrap_type=_itup(mm.wrap_type), wrap_objid=_itup(mm.wrap_objid),
         wrap_prm=J(mm.wrap_prm),
+        # mjModel.wrap_prm doubles as sidesite id (sphere/cylinder) and
+        # pulley divisor — split into the static structural tuples
+        wrap_sidesite=tuple(
+            int(p) if t in (int(types.WrapType.SPHERE),
+                            int(types.WrapType.CYLINDER)) else -1
+            for t, p in zip(np.asarray(mm.wrap_type),
+                            np.asarray(mm.wrap_prm))),
+        wrap_divisor=tuple(
+            float(p) if t == int(types.WrapType.PULLEY) else 1.0
+            for t, p in zip(np.asarray(mm.wrap_type),
+                            np.asarray(mm.wrap_prm))),
         actuator_trntype=_itup(mm.actuator_trntype),
         actuator_dyntype=_itup(mm.actuator_dyntype),
         actuator_gaintype=_itup(mm.actuator_gaintype),

@@ -360,7 +360,11 @@ class Model:
     tendon_invweight0: jax.Array = None
     wrap_type: Tuple[int, ...] = _static(default=())
     wrap_objid: Tuple[int, ...] = _static(default=())
-    wrap_prm: jax.Array = None       # (nwrap,)
+    wrap_prm: jax.Array = None       # (nwrap,) fixed-tendon coef per entry
+    # spatial-tendon structural metadata (static: the wrap path shapes the
+    # traced program; wrap_prm stays the runtime-editable coef array)
+    wrap_sidesite: Tuple[int, ...] = _static(default=())  # site id | -1
+    wrap_divisor: Tuple[float, ...] = _static(default=()) # pulley divisors
 
     # ---- actuators ----
     actuator_trntype: Tuple[int, ...] = _static(default=())

@@ -469,28 +469,135 @@ def rne(m: Model, d: Data) -> Data:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=128)
-def _tendon_meta(tendon_adr, tendon_num, wrap_objid, jnt_qposadr, jnt_dofadr):
-    """Static wrap→(tendon, qposadr, dofadr) tables for fixed tendons."""
-    nwrap = len(wrap_objid)
-    seg = np.zeros(nwrap, dtype=np.int32)
+def _tendon_meta(tendon_adr, tendon_num, wrap_type, wrap_objid,
+                 wrap_sidesite, wrap_divisor, jnt_qposadr, jnt_dofadr):
+    """Static tendon structure.
+
+    Fixed tendons (JOINT wraps) become segment-sum tables; spatial tendons
+    (SITE/SPHERE/CYLINDER/PULLEY wraps, mj_tendon's path walk) become a
+    per-tendon list of path ops the traced builder unrolls."""
+    from mujoco_ros_pkgs_tpu.core.types import WrapType
+
+    fixed_wraps = []   # (wrap index, tendon, qposadr, dofadr)
+    spatial = {}       # tendon id -> list of ('site', sid) | ('geom', gid,
+    #                     sidesite) | ('pulley', divisor)
     for t, (a, n) in enumerate(zip(tendon_adr, tendon_num)):
-        seg[a:a + n] = t
-    wj = np.asarray(wrap_objid, dtype=np.int32)
-    qadr = np.asarray(jnt_qposadr, dtype=np.int32)[wj]
-    dadr = np.asarray(jnt_dofadr, dtype=np.int32)[wj]
-    return seg, qadr, dadr
+        kinds = [wrap_type[w] for w in range(a, a + n)]
+        if all(k == int(WrapType.JOINT) for k in kinds):
+            for w in range(a, a + n):
+                fixed_wraps.append((w, t, jnt_qposadr[wrap_objid[w]],
+                                    jnt_dofadr[wrap_objid[w]]))
+            continue
+        path = []
+        for w in range(a, a + n):
+            k = wrap_type[w]
+            if k == int(WrapType.SITE):
+                path.append(("site", wrap_objid[w]))
+            elif k in (int(WrapType.SPHERE), int(WrapType.CYLINDER)):
+                path.append(("geom", wrap_objid[w], wrap_sidesite[w],
+                             k == int(WrapType.SPHERE)))
+            elif k == int(WrapType.PULLEY):
+                path.append(("pulley", wrap_divisor[w]))
+            else:
+                raise ValueError(
+                    f"tendon {t}: cannot mix joint wraps with a spatial path")
+        # structural validation (mirrors the MJCF compiler's rules)
+        if not path or path[0][0] != "site" or path[-1][0] != "site":
+            raise ValueError(f"spatial tendon {t} must start and end at sites")
+        for i, op in enumerate(path):
+            if op[0] == "geom":
+                if (path[i - 1][0] != "site" or i + 1 >= len(path)
+                        or path[i + 1][0] != "site"):
+                    raise ValueError(
+                        f"spatial tendon {t}: wrap geoms must be bracketed "
+                        f"by sites")
+        spatial[t] = path
+    if fixed_wraps:
+        widx, seg, qadr, dadr = (np.asarray(x, dtype=np.int32)
+                                 for x in zip(*fixed_wraps))
+    else:
+        widx = seg = qadr = dadr = np.zeros(0, dtype=np.int32)
+    return widx, seg, qadr, dadr, spatial
+
+
+def _spatial_tendon(m: Model, d: Data, path):
+    """One spatial tendon's (length, J row): walk the static path, summing
+    straight segments / wrap geodesics (ops/wrap.py), dividing each branch by
+    its pulley divisor; J row via point-jacobian differences u·(Jb - Ja)
+    (mj_tendon's formulation — arc segments ride the wrap body and contribute
+    nothing between their own tangent points)."""
+    from mujoco_ros_pkgs_tpu.ops import wrap as wrap_mod
+
+    dtype = d.qpos.dtype
+    L = jnp.zeros((), dtype=dtype)
+    row = jnp.zeros(m.nv, dtype=dtype)
+    divisor = 1.0
+
+    # resolve points lazily: (world position, static body id)
+    def site_point(sid):
+        return d.site_xpos[sid], m.site_bodyid[sid]
+
+    def add_segment(pa, ba, pb, bb, div):
+        nonlocal L, row
+        diff = pb - pa
+        seg = jnp.sqrt(jnp.maximum(diff @ diff, mmath.MINVAL ** 2))
+        u = diff / seg
+        L = L + seg / div
+        ja, _ = jac(m, d, pa, ba)
+        jb, _ = jac(m, d, pb, bb)
+        row = row + ((jb - ja) @ u) / div
+
+    i = 0
+    prev = None   # (point, body) pending connection
+    while i < len(path):
+        op = path[i]
+        if op[0] == "pulley":
+            divisor = op[1]
+            prev = None          # pulley breaks the chain into branches
+            i += 1
+            continue
+        if op[0] == "site":
+            pt = site_point(op[1])
+            if prev is not None:
+                add_segment(prev[0], prev[1], pt[0], pt[1], divisor)
+            prev = pt
+            i += 1
+            continue
+        # geom wrap between prev site and the next site
+        _, gid, ssid, is_sphere = op
+        nxt = site_point(path[i + 1][1])
+        gpos, gmat = d.geom_xpos[gid], d.geom_xmat[gid]
+        r = m.geom_size[gid][0]
+        side = (d.site_xpos[ssid] if ssid >= 0
+                else jnp.zeros(3, dtype=dtype))
+        t0, t1, arc, _ = wrap_mod.wrap_geom(prev[0], nxt[0], gpos, gmat, r,
+                                            is_sphere, side, ssid >= 0)
+        gb = m.geom_bodyid[gid]
+        add_segment(prev[0], prev[1], t0, gb, divisor)
+        L = L + arc / divisor     # arc endpoints ride the wrap body: no J term
+        add_segment(t1, gb, nxt[0], nxt[1], divisor)
+        prev = nxt
+        i += 2
+    return L, row
 
 
 def tendon(m: Model, d: Data) -> Data:
     if m.ntendon == 0:
         return d
-    seg, qadr, dadr = _tendon_meta(m.tendon_adr, m.tendon_num, m.wrap_objid,
-                                   m.jnt_qposadr, m.jnt_dofadr)
-    coef = m.wrap_prm
-    lengths = jax.ops.segment_sum(coef * d.qpos[qadr], seg,
-                                  num_segments=m.ntendon)
+    widx, seg, qadr, dadr, spatial = _tendon_meta(
+        m.tendon_adr, m.tendon_num, m.wrap_type, m.wrap_objid,
+        m.wrap_sidesite, m.wrap_divisor, m.jnt_qposadr, m.jnt_dofadr)
+    lengths = jnp.zeros(m.ntendon, dtype=d.qpos.dtype)
     ten_J = jnp.zeros((m.ntendon, m.nv), dtype=d.qpos.dtype)
-    ten_J = ten_J.at[seg, dadr].add(coef)
+    if widx.size:
+        coef = m.wrap_prm[widx]
+        lengths = lengths + jax.ops.segment_sum(
+            coef * d.qpos[qadr], seg, num_segments=m.ntendon)
+        ten_J = ten_J.at[seg, dadr].add(coef)
+    for t, path in spatial.items():
+        L, row = _spatial_tendon(m, d, path)
+        lengths = lengths.at[t].set(L)
+        ten_J = ten_J.at[t].set(row)
     return d.replace(ten_length=lengths, ten_J=ten_J,
                      ten_velocity=ten_J @ d.qvel)
 

@@ -1,0 +1,168 @@
+"""Spatial tendon parity vs the MuJoCo oracle.
+
+The reference inherits spatial tendons from libmujoco (mj_tendon / mju_wrap);
+round 2's compiler handled fixed tendons only (VERDICT missing #4). These
+tests pin ten_length, ten_J and full trajectories against the pip oracle for
+site paths, pulley branches, and sphere/cylinder wrap geoms with sidesites.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import mujoco
+import pytest
+
+from mujoco_ros_pkgs_tpu.core import mjcf
+from mujoco_ros_pkgs_tpu.ops import forward as fwd, smooth
+from tests import oracle
+
+
+SITES_XML = """
+<mujoco model="ten_sites">
+  <option timestep="0.002"/>
+  <worldbody>
+    <site name="anchor" pos="0 0 1"/>
+    <body name="b1" pos="0 0 0.6">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.02"/>
+      <geom name="g1" type="capsule" size="0.02 0.1" contype="0" conaffinity="0"/>
+      <site name="s1" pos="0.1 0 0.05"/>
+      <body name="b2" pos="0 0 -0.25">
+        <joint name="j2" type="hinge" axis="0 1 0" damping="0.02"/>
+        <geom name="g2" type="capsule" size="0.02 0.08" contype="0" conaffinity="0"/>
+        <site name="s2" pos="0.08 0 0"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="cable" stiffness="40" damping="0.5" springlength="0.35 0.35">
+      <site site="anchor"/>
+      <site site="s1"/>
+      <site site="s2"/>
+    </spatial>
+  </tendon>
+</mujoco>
+"""
+
+PULLEY_XML = """
+<mujoco model="ten_pulley">
+  <option timestep="0.002"/>
+  <worldbody>
+    <site name="a0" pos="-0.3 0 1"/>
+    <site name="a1" pos="0.3 0 1"/>
+    <body name="left" pos="-0.3 0 0.6">
+      <joint name="jl" type="slide" axis="0 0 1" damping="0.1"/>
+      <geom name="gl" type="sphere" size="0.04" contype="0" conaffinity="0"/>
+      <site name="sl" pos="0 0 0.04"/>
+    </body>
+    <body name="right" pos="0.3 0 0.6">
+      <joint name="jr" type="slide" axis="0 0 1" damping="0.1"/>
+      <geom name="gr" type="sphere" size="0.04" contype="0" conaffinity="0"/>
+      <site name="sr" pos="0 0 0.04"/>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="block" stiffness="60" springlength="0.5 0.5">
+      <site site="a0"/>
+      <site site="sl"/>
+      <pulley divisor="2"/>
+      <site site="a1"/>
+      <site site="sr"/>
+    </spatial>
+  </tendon>
+</mujoco>
+"""
+
+WRAP_XML = """
+<mujoco model="ten_wrap">
+  <option timestep="0.002"/>
+  <worldbody>
+    <site name="w_anchor" pos="-0.3 0 1"/>
+    <geom name="drum" type="{gtype}" size="{gsize}" pos="0 0 0.85"
+          quat="{gquat}" contype="0" conaffinity="0"/>
+    <site name="sside" pos="0 0 1.05"/>
+    <body name="mass" pos="0.3 0 0.6">
+      <joint name="jm" type="slide" axis="0 0 1" damping="0.05"/>
+      <geom name="gm" type="sphere" size="0.05" mass="0.4" contype="0"
+            conaffinity="0"/>
+      <site name="sm" pos="0 0 0.05"/>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="winch" stiffness="80" springlength="0.4 0.4">
+      <site site="w_anchor"/>
+      <geom geom="drum" sidesite="sside"/>
+      <site site="sm"/>
+    </spatial>
+  </tendon>
+</mujoco>
+"""
+
+
+def _compare_tendon_state(xml, qpos=None, tol_L=1e-6, tol_J=1e-5):
+    mm = oracle.load_oracle_string(xml)
+    dd = mujoco.MjData(mm)
+    if qpos is not None:
+        dd.qpos[:] = qpos
+    mujoco.mj_forward(mm, dd)
+
+    m = mjcf.load_model_from_string(xml)
+    d = fwd.make_data(m)
+    if qpos is not None:
+        d = d.replace(qpos=jnp.asarray(qpos, dtype=d.qpos.dtype))
+    d = jax.jit(lambda dd_: smooth.fwd_position_smooth(m, dd_))(d)
+
+    np.testing.assert_allclose(np.asarray(d.ten_length), dd.ten_length,
+                               atol=tol_L, err_msg="ten_length")
+    J_oracle = np.zeros((mm.ntendon, mm.nv))
+    # oracle ten_J is sparse (ten_J dense in 2.3.7: mjData.ten_J is
+    # (ntendon, nv) dense)
+    J_oracle[:] = dd.ten_J.reshape(mm.ntendon, mm.nv)
+    np.testing.assert_allclose(np.asarray(d.ten_J), J_oracle, atol=tol_J,
+                               err_msg="ten_J")
+
+
+def test_site_path_length_and_jacobian():
+    _compare_tendon_state(SITES_XML)
+    for q in ([0.4, -0.3], [-0.8, 0.9], [1.2, 0.2]):
+        _compare_tendon_state(SITES_XML, qpos=np.array(q))
+
+
+def test_pulley_branches():
+    _compare_tendon_state(PULLEY_XML)
+    for q in ([0.05, -0.1], [-0.2, 0.15]):
+        _compare_tendon_state(PULLEY_XML, qpos=np.array(q))
+
+
+@pytest.mark.parametrize("gtype,gsize,gquat", [
+    ("sphere", "0.08", "1 0 0 0"),
+    ("cylinder", "0.08 0.2", "0.70710678 0.70710678 0 0"),  # axis along y
+])
+def test_wrap_geom_length_and_jacobian(gtype, gsize, gquat):
+    xml = WRAP_XML.format(gtype=gtype, gsize=gsize, gquat=gquat)
+    # q sweeps the mass through wrap-active and wrap-inactive configurations
+    for q in ([0.0], [-0.3], [0.25], [-0.6]):
+        _compare_tendon_state(xml, qpos=np.array(q), tol_L=1e-5, tol_J=1e-4)
+
+
+def test_spatial_tendon_trajectory_parity():
+    """Full dynamics: the tendon spring/damper drives the arm; trajectories
+    must track the oracle."""
+    mm = oracle.load_oracle_string(SITES_XML)
+    qpos, qvel = (a[-1] for a in oracle.rollout(mm, 300))
+    m = mjcf.load_model_from_string(SITES_XML)
+    d = fwd.make_data(m)
+    step = jax.jit(lambda dd_: fwd.step(m, dd_))
+    for _ in range(300):
+        d = step(d)
+    np.testing.assert_allclose(np.asarray(d.qpos), qpos, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(d.qvel), qvel, atol=2e-3)
+
+
+def test_tendon_structure_errors():
+    bad = SITES_XML.replace('<site site="anchor"/>', '')
+    bad = bad.replace('<spatial name="cable"',
+                      '<spatial name="cable"').replace(
+        '<site site="s1"/>', '<geom geom="g1"/><site site="s1"/>')
+    with pytest.raises(ValueError):
+        m = mjcf.load_model_from_string(bad)
+        smooth.tendon(m, fwd.make_data(m))
