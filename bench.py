@@ -182,6 +182,79 @@ def bench_config5_singlechip(cpu, accel, pair_topk=0):
     return _throughput(m, d, accel, nenv, rounds=max(ROUNDS // 2, 1))
 
 
+def bench_config_humanoid(cpu, accel):
+    """Humanoid (nv=27, RL-scale model family): runs the dense jnp solver
+    path (above the fused kernel's nv cap) — tracked so the large-nv story
+    has a number, not just BOXES."""
+    from mujoco_ros_pkgs_tpu.models.humanoid import HUMANOID
+    nenv = NENV // 4
+    m, d = _prepare(HUMANOID, nenv, cpu, iters=ITERS)
+    return _throughput(m, d, accel, nenv, rounds=max(ROUNDS // 2, 1))
+
+
+def bench_scaling_tpu(cpu, accel):
+    """Single-chip sharding overhead on the REAL accelerator: shard_map over
+    a 1-device ('host','env') mesh vs the plain jit(vmap) path on the same
+    batch. This is the measurable slice of the >=80% scaling target on a
+    1-chip environment (the cross-host functional path is
+    tests/test_multihost.py; real DCN efficiency needs a pod)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from mujoco_ros_pkgs_tpu.core import mjcf
+    from mujoco_ros_pkgs_tpu.models import worlds
+    from mujoco_ros_pkgs_tpu.ops import forward as fwd
+    from mujoco_ros_pkgs_tpu.parallel import multihost as mh
+
+    nenv, nsub, rounds = NENV, NSUB, max(ROUNDS // 2, 1)
+    with jax.default_device(cpu):
+        m0 = mjcf.load_model_from_string(worlds.BOXES, dtype=jnp.float32)
+        d1 = fwd.make_data(m0, dtype=jnp.float32)
+        d0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (nenv,) + x.shape), d1)
+        d0 = d0.replace(rng=jax.random.split(jax.random.PRNGKey(0), nenv))
+    m0 = m0.replace(opt=m0.opt.replace(iterations=ITERS, ls_iterations=8))
+
+    def rate_vmap():
+        m = jax.device_put(m0, accel)
+        d = jax.device_put(d0, accel)
+
+        @partial(jax.jit, donate_argnums=0)
+        def run(dd):
+            def body(dd, _):
+                return jax.vmap(lambda e: fwd.step(m, e))(dd), None
+            dd, _ = jax.lax.scan(body, dd, None, length=nsub)
+            return dd
+        d = run(d)
+        jax.block_until_ready(d.qpos)
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            d = run(d)
+        jax.block_until_ready(d.qpos)
+        return nenv * nsub * rounds / (time.perf_counter() - t0)
+
+    def rate_shardmap():
+        mesh = mh.make_host_env_mesh(n_hosts=1, devices=[accel])
+        m = mh.replicate_model(m0, mesh)
+        d = mh.make_global_batch(m, nenv, mesh, seed=0, dtype=jnp.float32)
+        step = mh.shardmap_step_fn(m, mesh, nsub=nsub, with_consumer=True)
+        d, c = step(d)
+        jax.block_until_ready(c)
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            d, c = step(d)
+        jax.block_until_ready(c)
+        return nenv * nsub * rounds / (time.perf_counter() - t0)
+
+    rv = rate_vmap()
+    rs = rate_shardmap()
+    return dict(tpu_vmap=round(rv, 1), tpu_shardmap_1dev=round(rs, 1),
+                shardmap_vmap_ratio=round(rs / rv, 3),
+                note="1-dev shard_map incl. the psum consumer vs plain vmap "
+                     "on the same chip/batch; >=0.8 = sharding machinery "
+                     "itself is not the bottleneck")
+
+
 def bench_scaling_cpu():
     """Sharding overhead at FIXED total resources: 1-device vs 2-virtual-
     device shard_map on the same total env batch, plus a per-device-program
@@ -208,6 +281,9 @@ def bench_scaling_cpu():
         return None
     if len(cpus) < 2:
         return None
+    # the fused TPU kernel must not trace into a CPU-mesh shard_map (Mosaic
+    # has no CPU lowering outside interpret mode); gate it off for this probe
+    os.environ["MRP_PALLAS_SOLVER"] = "0"
     nenv, nsub, rounds = 4096, 20, 3
 
     with jax.default_device(cpus[0]):
@@ -253,9 +329,12 @@ def bench_scaling_cpu():
         jax.block_until_ready([d.qpos for d in ds])
         return nenv * nsub * rounds / (time.perf_counter() - t0)
 
-    r1 = rate_shardmap(1)
-    r2 = rate_shardmap(2)
-    rind = rate_independent()
+    try:
+        r1 = rate_shardmap(1)
+        r2 = rate_shardmap(2)
+        rind = rate_independent()
+    finally:
+        os.environ["MRP_PALLAS_SOLVER"] = "auto"
     return dict(cpu_1dev=round(r1, 1), cpu_2dev_shardmap=round(r2, 1),
                 cpu_2dev_independent=round(rind, 1),
                 shardmap_overhead_ratio=round(r2 / r1, 3),
@@ -286,7 +365,8 @@ def main():
                          ("config4_arm7", bench_config4),
                          ("config5_pile", bench_config5_singlechip),
                          ("config5_pile_broadphase",
-                          partial(bench_config5_singlechip, pair_topk=24))):
+                          partial(bench_config5_singlechip, pair_topk=24)),
+                         ("humanoid", bench_config_humanoid)):
             try:
                 r, c = fn(cpu, accel)
                 extras[name] = round(r, 1)
@@ -296,6 +376,14 @@ def main():
             except Exception as exc:
                 extras[name] = f"error: {exc}"
                 print(f"{name} FAILED: {exc}", file=sys.stderr)
+        if accel.platform == "tpu":
+            try:
+                st = bench_scaling_tpu(cpu, accel)
+                extras["scaling_tpu_1chip"] = st
+                print(f"tpu 1-chip scaling: {st}", file=sys.stderr)
+            except Exception as exc:
+                extras["scaling_tpu_1chip"] = f"error: {exc}"
+                print(f"tpu scaling FAILED: {exc}", file=sys.stderr)
         try:
             sc = bench_scaling_cpu()
             if sc:

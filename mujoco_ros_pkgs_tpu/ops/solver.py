@@ -29,6 +29,22 @@ from mujoco_ros_pkgs_tpu.ops import math as mmath
 from mujoco_ros_pkgs_tpu.ops.efc import Efc
 
 
+def _unroll_mode() -> str:
+    """Fixed-trip masked unrolling of the solver loops (same results as the
+    while_loops — lanes freeze via `where` when their exit condition fires).
+    Modes: 'none' (default — measured: fully unrolling the Newton loop
+    produces MLIR large enough to break the axon remote-compile service on
+    contact-rich models, with no speedup on the ls-only variant), 'ls'
+    (line-search polish only), 'full'. Override: MRP_UNROLL_SOLVER=0/ls/1."""
+    import os
+    env = os.environ.get("MRP_UNROLL_SOLVER", "auto")
+    if env == "1":
+        return "full"
+    if env == "ls":
+        return "ls"
+    return "none"
+
+
 def _cone_project(w_n, w_t, alpha):
     """Project (w_n, w_t) onto the circular cone ||w_t|| <= alpha * w_n.
 
@@ -343,9 +359,21 @@ def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
             inb = (newton > lo) & (newton < hi)
             alpha = jnp.where(inb, newton, 0.5 * (lo + hi))
             return lo, hi, alpha, it + 1
-        _, _, alpha, _ = jax.lax.while_loop(
-            ls_cond, ls_body,
-            (lo, hi, 0.5 * (lo + hi), jnp.zeros((), dtype=jnp.int32)))
+
+        ls0 = (lo, hi, 0.5 * (lo + hi), jnp.zeros((), dtype=jnp.int32))
+        if _unroll_mode() in ("ls", "full"):
+            # fixed-trip masked unroll: identical results (lanes freeze when
+            # the while condition would fail), but straight-line code XLA can
+            # fuse — dynamic control flow serializes poorly on TPU
+            carry = ls0
+            for _ in range(nls):
+                cont = ls_cond(carry)
+                nxt = ls_body(carry)
+                carry = tuple(jnp.where(cont, n, c)
+                              for n, c in zip(nxt, carry))
+            alpha = carry[2]
+        else:
+            _, _, alpha, _ = jax.lax.while_loop(ls_cond, ls_body, ls0)
 
         # directional-derivative convergence: phi'(0) = <grad, dx> bounds the
         # achievable improvement (improvement <= -0.5*alpha*phi'(0) at the
@@ -366,9 +394,19 @@ def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
     # "varying" under shard_map's manual-axes type checks, and skips the
     # solve outright on NaN input
     done0 = jnp.any(jnp.isnan(x0))
-    (x, _, it_final) = jax.lax.while_loop(
-        newton_cond, newton_step,
-        (x0, done0, jnp.zeros((), dtype=jnp.int32)))
+    n0 = (x0, done0, jnp.zeros((), dtype=jnp.int32))
+    if _unroll_mode() == "full":
+        carry = n0
+        for _ in range(min(niter, 32)):
+            cont = newton_cond(carry)
+            nxt = newton_step(carry)
+            carry = tuple(jnp.where(cont, n, c) for n, c in zip(nxt, carry))
+        # beyond 32 unrolled iterations fall back to the loop for the tail
+        if niter > 32:
+            carry = jax.lax.while_loop(newton_cond, newton_step, carry)
+        (x, _, it_final) = carry
+    else:
+        (x, _, it_final) = jax.lax.while_loop(newton_cond, newton_step, n0)
 
     jar = J @ x - efc.aref
     f, _, _, _ = _forces_and_weights(m, efc, jar)

@@ -14,10 +14,7 @@ All functions are single-env; vmap batches them.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-
-from mujoco_ros_pkgs_tpu.ops import math as mmath
 
 _EPS = 1e-9
 

@@ -12,6 +12,12 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+try:
+    # some images strip XLA_FLAGS (the axon sitecustomize does); the config
+    # knob is what reliably yields the 8 virtual CPU devices
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
 jax.config.update("jax_enable_x64", True)
 
 # The XLA CPU backend compiles float64 programs ~25x slower than float32

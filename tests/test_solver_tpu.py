@@ -87,7 +87,10 @@ def test_row_forces_matches_jnp(name, xml):
     m, d, efc = _scene_efc(xml, qpos_noise=0.005)
     nefc = len(efc.kinds)
     assert nefc > 0
-    assert solver_tpu.supports(efc, m.nv), f"{name}: kernel should support"
+    # VMEM budget: scenes over 64 rows (arm7: 100) take the jnp path at
+    # runtime (measured scoped-VMEM OOM on v5e) but the row MATH must still
+    # agree — _row_forces is exercised directly below either way
+    assert solver_tpu.supports(efc, m.nv) == (nefc <= 64), name
 
     key = jax.random.PRNGKey(1)
     jar = 0.05 * jax.random.normal(key, (nefc,)).astype(jnp.float32)
