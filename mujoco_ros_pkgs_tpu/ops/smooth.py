@@ -135,7 +135,6 @@ _v_rot = jax.vmap(mmath.rot_vec_quat)
 _v_norm = jax.vmap(mmath.normalize)
 _v_axang = jax.vmap(mmath.axis_angle_to_quat)
 _v_quat_to_mat = jax.vmap(mmath.quat_to_mat)
-_v_motion_cross = jax.vmap(mmath.motion_cross)
 _v_quat_sub = jax.vmap(mmath.quat_sub)
 
 
