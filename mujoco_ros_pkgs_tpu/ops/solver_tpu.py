@@ -471,9 +471,9 @@ def solve_batched(kinds: Tuple[str, ...],
     # under shard_map's manual-axes discipline (check_vma=True) pallas_call
     # outputs must declare their varying mesh axes; inherit them from an input
     try:
-        vma = tuple(jax.typeof(J_t).vma)
+        vma = frozenset(jax.typeof(J_t).vma)
     except Exception:
-        vma = ()
+        vma = frozenset()
     shp_kw = dict(vma=vma) if vma else {}
 
     def spec(feat):
