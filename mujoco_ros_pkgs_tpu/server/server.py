@@ -61,6 +61,13 @@ class AdminHashError(PermissionError):
     pass
 
 
+class LockDisciplineError(AssertionError):
+    """A guarded state attribute was written without holding the server lock
+    (the race-detection analogue of the reference's TSAN build option,
+    cmake/Sanitizers.cmake:3-7 — here the single-RLock discipline is
+    enforced dynamically instead of compiled in)."""
+
+
 class MujocoServer:
     """Batched simulation server.
 
@@ -140,8 +147,33 @@ class MujocoServer:
         # static TF registry (registerStaticTransform, mujoco_env.cpp:178-195)
         self._static_tf: Dict[str, tuple] = {}
 
+        # dynamic race audit (TSAN-equivalent for the lock discipline):
+        # writes to the simulation state attributes below must hold _lock.
+        # On by default during tests (MRP_LOCK_AUDIT=0 disables; =1 forces).
+        import os as _os
+        self._lock_audit = _os.environ.get("MRP_LOCK_AUDIT", "1") == "1"
+
         self._model_source = model
         self._load_model(model)
+
+    # attributes whose writes constitute "the physics mutex discipline"
+    # (the reference guards the same state with physics_thread_mutex_,
+    # mujoco_env.h:90,155)
+    _GUARDED = frozenset({"d", "m", "pstates"})
+
+    def __setattr__(self, name, value):
+        if name in MujocoServer._GUARDED:
+            lock = self.__dict__.get("_lock")
+            # races only exist while the physics thread runs; paused
+            # single-threaded use (manual stepping, tests) stays permissive
+            if (lock is not None and self.__dict__.get("_lock_audit")
+                    and self.__dict__.get("_physics_thread") is not None
+                    and not lock._is_owned()):
+                raise LockDisciplineError(
+                    f"write to MujocoServer.{name} while the physics loop is "
+                    f"running, without holding the server lock — wrap the "
+                    f"mutation in `with server._lock:`")
+        object.__setattr__(self, name, value)
 
     # ------------------------------------------------------------------
     # loading / lifecycle
