@@ -288,6 +288,8 @@ def bench_scaling_cpu():
         return None
     # the fused TPU kernel must not trace into a CPU-mesh shard_map (Mosaic
     # has no CPU lowering outside interpret mode); gate it off for this probe
+    # (restoring whatever the user had set, including unset)
+    prev_pallas = os.environ.get("MRP_PALLAS_SOLVER")
     os.environ["MRP_PALLAS_SOLVER"] = "0"
     nenv, nsub, rounds = 4096, 20, 3
 
@@ -339,7 +341,10 @@ def bench_scaling_cpu():
         r2 = rate_shardmap(2)
         rind = rate_independent()
     finally:
-        os.environ["MRP_PALLAS_SOLVER"] = "auto"
+        if prev_pallas is None:
+            os.environ.pop("MRP_PALLAS_SOLVER", None)
+        else:
+            os.environ["MRP_PALLAS_SOLVER"] = prev_pallas
     return dict(cpu_1dev=round(r1, 1), cpu_2dev_shardmap=round(r2, 1),
                 cpu_2dev_independent=round(rind, 1),
                 shardmap_overhead_ratio=round(r2 / r1, 3),

@@ -601,6 +601,8 @@ def load_model_from_string(xml: str, dtype=None, base_dir: str = ".",
     root = ET.fromstring(xml)
     if root.tag != "mujoco":
         raise ValueError(f"expected <mujoco> root, got <{root.tag}>")
+    _expand_includes(root, base_dir)
+    _merge_repeated_sections(root)
     with backend.cpu_default_device():
         m = _compile(root, base_dir)
         if pair_topk:
@@ -608,6 +610,62 @@ def load_model_from_string(xml: str, dtype=None, base_dir: str = ".",
         if dtype is not None:
             m = m.astype(dtype)
     return m
+
+
+# sections whose repeats (hand-written or produced by <include>) merge by
+# appending children into the first occurrence; attribute-bearing singletons
+# merge attributes with later-wins (libmujoco's repeated-section semantics)
+_MERGE_SECTIONS = ("worldbody", "asset", "contact", "tendon", "actuator",
+                   "sensor", "equality", "default", "keyframe", "custom")
+_ATTR_SECTIONS = ("compiler", "option", "size", "visual", "statistic")
+
+
+def _expand_includes(elem: ET.Element, base_dir: str, depth: int = 0) -> None:
+    """Splice <include file=.../> elements in place (libmujoco's include
+    semantics: the included file's root children replace the element; paths
+    resolve relative to the main model file; recursion allowed)."""
+    if depth > 16:
+        raise ValueError("<include> nesting too deep (cycle?)")
+    i = 0
+    while i < len(elem):
+        ch = elem[i]
+        if ch.tag == "include":
+            fname = ch.get("file")
+            if not fname:
+                raise ValueError("<include> requires a file attribute")
+            path = (fname if os.path.isabs(fname)
+                    else os.path.join(base_dir, fname))
+            try:
+                inc = ET.parse(path).getroot()
+            except (OSError, ET.ParseError) as exc:
+                raise ValueError(f"<include file='{fname}'>: {exc}") from exc
+            _expand_includes(inc, base_dir, depth + 1)
+            elem.remove(ch)
+            for j, sub in enumerate(list(inc)):
+                elem.insert(i + j, sub)
+            i += len(inc)
+        else:
+            _expand_includes(ch, base_dir, depth)
+            i += 1
+
+
+def _merge_repeated_sections(root: ET.Element) -> None:
+    """Fold repeated top-level sections into the first occurrence (repeats
+    arise naturally from <include>; libmujoco merges them)."""
+    seen: Dict[str, ET.Element] = {}
+    for ch in list(root):
+        t = ch.tag
+        if t in seen and t in _MERGE_SECTIONS:
+            for sub in list(ch):
+                seen[t].append(sub)
+            root.remove(ch)
+        elif t in seen and t in _ATTR_SECTIONS:
+            seen[t].attrib.update(ch.attrib)
+            for sub in list(ch):
+                seen[t].append(sub)
+            root.remove(ch)
+        else:
+            seen[t] = ch
 
 
 def _compile(root: ET.Element, base_dir: str) -> types.Model:

@@ -1,6 +1,8 @@
 """Collision driver: static pair table -> masked fixed-capacity contact set.
 
-(Full narrowphase lands in this module; stub passes through when no pairs.)
+Thin dispatch over the full narrowphase (ops/narrowphase.py, all 8 geom
+types incl. convex mesh hulls) and broadphase compaction (ops/broadphase.py);
+this module owns the disableflags / empty-pair-table gating.
 """
 
 from __future__ import annotations

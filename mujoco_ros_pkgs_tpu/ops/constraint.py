@@ -1,7 +1,9 @@
 """Constraint assembly + solve (mj_fwdConstraint analogue).
 
-Stub: smooth-only path when the model has no constraint sources; the full
-masked fixed-shape efc assembly + Newton solver lands here.
+Thin dispatch: detects whether the model has any constraint source
+(equality/friction/limit/contact) and routes to the masked fixed-shape efc
+assembly + Newton solve (ops/efc.py, ops/solver.py), or the free smooth-only
+path when there is none.
 """
 
 from __future__ import annotations

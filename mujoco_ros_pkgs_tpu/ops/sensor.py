@@ -1,7 +1,9 @@
 """Sensor evaluation stages (mj_sensorPos / mj_sensorVel / mj_sensorAcc).
 
-Stub for now; full 36-type coverage mirrors the reference sensors plugin table
-(mujoco_ros_sensors/src/mujoco_sensor_handler_plugin.cpp:70-105).
+Thin dispatch into the full 36-type implementation (ops/sensor_impl.py),
+mirroring the reference sensors plugin table
+(mujoco_ros_sensors/src/mujoco_sensor_handler_plugin.cpp:70-105); this module
+owns the stage split (pos/vel/acc) and the sensor-disable gating.
 """
 
 from __future__ import annotations

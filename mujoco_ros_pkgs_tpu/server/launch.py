@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="serve a live HTTP view of env 0 on this port "
                          "(0 = ephemeral; the headless viewer-window "
                          "replacement). Requires a model camera.")
+    ap.add_argument("--watch-host", default="127.0.0.1",
+                    help="bind address for the live view (default loopback — "
+                         "the reference viewer window is local-only; set "
+                         "0.0.0.0 to expose it deliberately)")
     ap.add_argument("--profile-dir", default="",
                     help="write a jax.profiler trace of the run here "
                          "(the reference's profile:=true CPUPROFILE hook, "
@@ -186,9 +190,10 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile_dir)
 
     if args.watch_port >= 0:
-        res = srv.start_watch(port=args.watch_port)
+        res = srv.start_watch(port=args.watch_port, host=args.watch_host)
         msg = res.status_message
-        print(f"live view: {'http://0.0.0.0:' + msg if res.success else msg}",
+        print("live view: "
+              + (f"http://{args.watch_host}:{msg}" if res.success else msg),
               file=sys.stderr)
 
     srv.start_physics_loop()

@@ -1239,11 +1239,13 @@ class MujocoServer:
 
     def start_watch(self, port: int = 0, cam_name: str = "", env_id: int = 0,
                     fps: float = 10.0, width: int = 480,
-                    height: int = 320) -> ServiceResult:
+                    height: int = 320, host: str = "127.0.0.1") -> ServiceResult:
         """Continuous live view of the running sim over HTTP (multipart PNG
         stream) — the headless replacement for watching the reference's GLFW
         viewer window (viewer.cpp RenderLoop, :2262-2383). Returns the bound
-        port in the message; browse to http://host:port/."""
+        port in the message; browse to http://host:port/. Binds loopback by
+        default (the reference viewer window is local-only); pass an explicit
+        host to expose it."""
         from mujoco_ros_pkgs_tpu.render import camera as rcam
         from mujoco_ros_pkgs_tpu.server.watch import WatchServer
         if self._watch is not None:
@@ -1274,7 +1276,7 @@ class MujocoServer:
             return np.asarray(rgb, dtype=np.uint8)
 
         try:
-            self._watch = WatchServer(frame, port=port, fps=fps)
+            self._watch = WatchServer(frame, port=port, fps=fps, host=host)
         except OSError as exc:
             return ServiceResult(False, f"watch bind failed: {exc}")
         return ServiceResult(True, str(self._watch.port))
@@ -1387,13 +1389,11 @@ class MujocoServer:
             active = dist < incm
             fc = self._np(self.d.efc_force_contact)[env_id]
             qfc = self._np(self.d.qfrc_constraint)[env_id]
-            # realized solver work: a diagnostic single-env re-solve that
-            # counts actual Newton iterations (the reference profiler plots
-            # mjData.solver_iter, not the limit)
-            from mujoco_ros_pkgs_tpu.ops import solver as solver_mod
+            # snapshot the model + the env slice under the lock; the
+            # diagnostic compute below is pure over these immutable arrays
+            m = self.m
             d1 = self._env_slice(env_id)
-            sstats = solver_mod.solve_stats(self.m, d1)
-            return {
+            stats = {
                 "ncon_capacity": int(dist.shape[0]),
                 "ncon_active": int(active.sum()),
                 "max_penetration": float(max(0.0, -(dist.min()))
@@ -1402,20 +1402,29 @@ class MujocoServer:
                 "qfrc_constraint_norm": float(np.linalg.norm(qfc)),
                 "measured_slowdown": float(self.measured_slowdown),
                 "sim_time": self.sim_time,
-                "solver_iterations_limit": int(self.m.opt.iterations),
-                "solver_iterations_realized": int(sstats["iterations"]),
-                "solver_grad_norm": float(sstats.get("grad_norm", 0.0)),
-                "solver_cost": float(sstats.get("cost", 0.0)),
+                "solver_iterations_limit": int(m.opt.iterations),
                 "nefc": int(fc.shape[0]),
-                # pairs the broadphase top-k compaction dropped while their
-                # bounding volumes overlapped (0 = contact set exact;
-                # raise pair_topk if this is ever positive)
-                "broadphase_overflow": self._broadphase_overflow(env_id),
             }
+        # realized solver work: a diagnostic single-env re-solve that counts
+        # actual Newton iterations (the reference profiler plots
+        # mjData.solver_iter, not the limit). Run OUTSIDE the physics lock:
+        # its first call per model compiles a separate executable, which must
+        # not stall the physics loop (ADVICE r3 #2).
+        from mujoco_ros_pkgs_tpu.ops import solver as solver_mod
+        sstats = solver_mod.solve_stats(m, d1)
+        stats.update({
+            "solver_iterations_realized": int(sstats["iterations"]),
+            "solver_grad_norm": float(sstats.get("grad_norm", 0.0)),
+            "solver_cost": float(sstats.get("cost", 0.0)),
+            # pairs the broadphase top-k compaction dropped while their
+            # bounding volumes overlapped (0 = contact set exact;
+            # raise pair_topk if this is ever positive)
+            "broadphase_overflow": self._broadphase_overflow(m, d1),
+        })
+        return stats
 
-    def _broadphase_overflow(self, env_id: int) -> int:
-        if not self.m.pair_topk:
+    def _broadphase_overflow(self, m, d1) -> int:
+        if not m.pair_topk:
             return 0
         from mujoco_ros_pkgs_tpu.ops import broadphase as bp
-        d1 = self._env_slice(env_id)
-        return int(bp.candidate_overflow(self.m, d1))
+        return int(bp.candidate_overflow(m, d1))

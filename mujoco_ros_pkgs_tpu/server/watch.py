@@ -42,7 +42,7 @@ class WatchServer:
     one render is shared by all connected clients via a tiny cache)."""
 
     def __init__(self, frame_fn: Callable[[], np.ndarray], port: int = 0,
-                 fps: float = 10.0, host: str = "0.0.0.0"):
+                 fps: float = 10.0, host: str = "127.0.0.1"):
         self._frame_fn = frame_fn
         self._fps = max(float(fps), 0.1)
         self._cache: Optional[bytes] = None

