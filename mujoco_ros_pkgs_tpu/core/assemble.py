@@ -317,6 +317,9 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
     a_ctrlrange = np.zeros((nu, 2))
     a_forcerange = np.zeros((nu, 2))
     a_gear = np.zeros((nu, 6))
+    a_actlimited = []
+    a_actrange = np.zeros((nu, 2))
+    a_lengthrange = np.zeros((nu, 2))
     actuator_names = []
     na = 0
     for ai, ae in enumerate(act_elems):
@@ -353,6 +356,23 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
             kv = float(ae.get("kv", "1"))
             gaintype = 1
             gainprm[:3] = [0, 0, -kv]
+        elif tag == "muscle":
+            # <muscle> shortcut (MJCF reference defaults; curves in
+            # ops/muscle.py are pinned against the oracle's mju_muscle*)
+            dyntype, gaintype, biastype = 4, 2, 2
+            tc = _attr_f(ae, "timeconst", [0.01, 0.04], n=2)
+            dynprm[0], dynprm[1] = tc
+            dynprm[2] = float(ae.get("tausmooth", "0"))
+            rng = _attr_f(ae, "range", [0.75, 1.05], n=2)
+            gainprm[0], gainprm[1] = rng
+            for k, (nm, dv) in enumerate(
+                    (("force", -1.0), ("scale", 200.0), ("lmin", 0.5),
+                     ("lmax", 1.6), ("vmax", 1.5), ("fpmax", 1.3),
+                     ("fvmax", 1.2)), start=2):
+                gainprm[k] = float(ae.get(nm, dv))
+            biasprm[:9] = gainprm[:9]
+            if ae.get("ctrlrange") is None:
+                ae.set("ctrlrange", "0 1")
         elif tag == "general":
             dyntype = {"none": 0, "integrator": 1, "filter": 2,
                        "filterexact": 3, "muscle": 4}[ae.get("dyntype", "none")]
@@ -384,6 +404,16 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
                                    ae.get("forcerange") is not None))
         a_ctrlrange[ai] = _attr_f(ae, "ctrlrange", [0, 0])
         a_forcerange[ai] = _attr_f(ae, "forcerange", [0, 0])
+        a_actlimited.append(_tri(ae, "actlimited", comp.autolimits,
+                                 ae.get("actrange") is not None))
+        a_actrange[ai] = _attr_f(ae, "actrange", [0, 0])
+        a_lengthrange[ai] = _attr_f(ae, "lengthrange", [0, 0])
+        if (gaintype == 2 or biastype == 2) \
+                and a_lengthrange[ai, 0] >= a_lengthrange[ai, 1]:
+            raise ValueError(
+                f"muscle actuator '{ae.get('name', ai)}' needs an explicit "
+                "lengthrange attribute (automatic lengthrange computation "
+                "via simulation is not supported)")
         if dyntype != 0:
             a_actadr.append(na); a_actnum.append(1); na += 1
         else:
@@ -733,6 +763,10 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
         actuator_dynprm=J(a_dynprm), actuator_gainprm=J(a_gainprm),
         actuator_biasprm=J(a_biasprm), actuator_ctrlrange=J(a_ctrlrange),
         actuator_forcerange=J(a_forcerange), actuator_gear=J(a_gear),
+        actuator_actlimited=tuple(a_actlimited),
+        actuator_actrange=J(a_actrange),
+        actuator_lengthrange=J(a_lengthrange),
+        actuator_acc0=J(np.zeros(nu)),
         sensor_type=tuple(s_type), sensor_objtype=tuple(s_objtype),
         sensor_objid=tuple(s_objid), sensor_reftype=tuple(s_reftype),
         sensor_refid=tuple(s_refid), sensor_adr=tuple(s_adr),

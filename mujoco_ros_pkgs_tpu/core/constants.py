@@ -62,4 +62,10 @@ def set_constants(m: Model) -> Model:
         updates.update(tendon_length0=d.ten_length,
                        tendon_invweight0=ten_invweight0)
 
+    if m.nu:
+        # actuator_acc0 = |M^-1 moment_i| at qpos0 (mj_setConst): the peak
+        # muscle force scale F0 = scale/acc0 when gainprm force < 0
+        updates.update(actuator_acc0=jnp.linalg.norm(
+            d.actuator_moment @ Minv, axis=1))
+
     return m.replace(**updates)

@@ -219,6 +219,10 @@ def model_from_mujoco(mm, dtype=None, pair_topk: int = 0) -> types.Model:
         actuator_ctrlrange=J(mm.actuator_ctrlrange),
         actuator_forcerange=J(mm.actuator_forcerange),
         actuator_gear=J(mm.actuator_gear),
+        actuator_actlimited=tuple(int(x) for x in mm.actuator_actlimited),
+        actuator_actrange=J(mm.actuator_actrange),
+        actuator_lengthrange=J(mm.actuator_lengthrange),
+        actuator_acc0=J(mm.actuator_acc0),
         sensor_type=tuple(sensor_type),
         sensor_objtype=_itup(mm.sensor_objtype),
         sensor_objid=_itup(mm.sensor_objid),

@@ -382,6 +382,10 @@ class Model:
     actuator_ctrlrange: jax.Array = None
     actuator_forcerange: jax.Array = None
     actuator_gear: jax.Array = None     # (nu, 6)
+    actuator_actlimited: Tuple[int, ...] = _static(default=())
+    actuator_actrange: jax.Array = None      # (nu, 2)
+    actuator_lengthrange: jax.Array = None   # (nu, 2) muscle normalization
+    actuator_acc0: jax.Array = None          # (nu,) |M^-1 moment| at qpos0
 
     # ---- sensors ----
     sensor_type: Tuple[int, ...] = _static(default=())

@@ -138,11 +138,50 @@ def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
 # integrators
 # ---------------------------------------------------------------------------
 
+import functools
+
+
+@functools.lru_cache(maxsize=128)
+def _act_slot_meta(actuator_dyntype, actuator_actadr, actuator_actlimited,
+                   na):
+    """Per-activation-slot integration metadata: source actuator index,
+    FILTEREXACT mask, actrange clamp mask (mj_advance semantics)."""
+    from mujoco_ros_pkgs_tpu.core.types import DynType
+    is_fe = np.zeros(na, dtype=bool)
+    src = np.zeros(na, dtype=np.int32)
+    lim = np.zeros(na, dtype=bool)
+    for i, (dt, adr) in enumerate(zip(actuator_dyntype, actuator_actadr)):
+        if adr >= 0:
+            src[adr] = i
+            is_fe[adr] = dt == int(DynType.FILTEREXACT)
+            lim[adr] = bool(actuator_actlimited[i]) if actuator_actlimited \
+                else False
+    return is_fe, src, lim
+
+
 def _advance(m: Model, d: Data, qacc: jax.Array, act_dot: jax.Array,
              qvel_for_pos: jax.Array = None) -> Data:
     h = m.opt.timestep.astype(d.qpos.dtype)
     qvel = d.qvel + h * qacc
-    act = d.act + h * act_dot if m.na else d.act
+    if m.na:
+        act = d.act + h * act_dot
+        is_fe, src, lim = _act_slot_meta(
+            m.actuator_dyntype, m.actuator_actadr, m.actuator_actlimited,
+            m.na)
+        if is_fe.any():
+            # FILTEREXACT: exact first-order-filter update
+            # act += act_dot * tau * (1 - exp(-h/tau))  (mj_advance)
+            tau = jnp.maximum(m.actuator_dynprm[src, 0],
+                              mmath.MINVAL).astype(act.dtype)
+            act = jnp.where(jnp.asarray(is_fe),
+                            d.act + act_dot * tau * (1.0 - jnp.exp(-h / tau)),
+                            act)
+        if lim.any():
+            lo = m.actuator_actrange[src, 0].astype(act.dtype)
+            hi = m.actuator_actrange[src, 1].astype(act.dtype)
+            act = jnp.where(jnp.asarray(lim), jnp.clip(act, lo, hi), act)
+    else:
+        act = d.act
     qpos = integrate_pos(m, d.qpos, qvel_for_pos if qvel_for_pos is not None else qvel, h)
     return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
 

@@ -778,6 +778,11 @@ def actuation(m: Model, d: Data) -> Data:
         ad = jnp.where(jnp.asarray(dyn == int(DynType.INTEGRATOR)), ctrl,
                        (ctrl - a_g) / jnp.maximum(m.actuator_dynprm[:, 0],
                                                   mmath.MINVAL))
+        if (dyn == int(DynType.MUSCLE)).any():
+            from mujoco_ros_pkgs_tpu.ops import muscle as muscle_mod
+            ad = jnp.where(jnp.asarray(dyn == int(DynType.MUSCLE)),
+                           muscle_mod.dynamics(ctrl, a_g, m.actuator_dynprm),
+                           ad)
         act_dot = jnp.zeros(m.na + 1, dtype=dtype)
         act_dot = act_dot.at[np.where(has_act, actadr, m.na)].set(
             ad.astype(dtype), mode="drop")[:m.na]
@@ -793,6 +798,17 @@ def actuation(m: Model, d: Data) -> Data:
                      gp[:, 0] + gp[:, 1] * L + gp[:, 2] * V)
     bias = jnp.where(jnp.asarray(biastype == int(BiasType.NONE)), 0.0,
                      bp[:, 0] + bp[:, 1] * L + bp[:, 2] * V)
+    if (gaintype == int(GainType.MUSCLE)).any() \
+            or (biastype == int(BiasType.MUSCLE)).any():
+        from mujoco_ros_pkgs_tpu.ops import muscle as muscle_mod
+        gain = jnp.where(jnp.asarray(gaintype == int(GainType.MUSCLE)),
+                         muscle_mod.gain(L, V, m.actuator_lengthrange,
+                                         m.actuator_acc0, gp),
+                         gain)
+        bias = jnp.where(jnp.asarray(biastype == int(BiasType.MUSCLE)),
+                         muscle_mod.bias(L, m.actuator_lengthrange,
+                                         m.actuator_acc0, bp),
+                         bias)
     force = gain * inp + bias
     flimited = jnp.asarray(np.array(m.actuator_forcelimited, dtype=bool))
     force = jnp.where(flimited,

@@ -1,0 +1,157 @@
+"""Muscle actuators + FILTEREXACT dynamics parity vs the oracle.
+
+The reference gets the full actuator matrix through libmujoco
+(mj_fwdActuation / mj_advance; stepped by the server at
+mujoco_ros/src/mujoco_env.cpp:498). VERDICT r3 missing #2: muscles previously
+ran silently wrong (affine gain/bias, first-order filter act_dot) and
+FILTEREXACT was integrated as plain FILTER.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import mujoco
+import pytest
+
+from mujoco_ros_pkgs_tpu.core import mjcf
+from mujoco_ros_pkgs_tpu.ops import forward as fwd, muscle
+from tests import oracle
+
+MUSCLE_JOINT_XML = """
+<mujoco model="muscle_joint">
+  <option timestep="0.002"/>
+  <worldbody>
+    <body name="arm" pos="0 0 1">
+      <joint name="elbow" type="hinge" axis="0 1 0" range="-1.2 1.2"
+             damping="0.08"/>
+      <geom type="capsule" size="0.03 0.15" fromto="0 0 0 0.3 0 0"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <muscle name="flex" joint="elbow" gear="0.05"
+            lengthrange="-0.06 0.06" force="120"/>
+    <muscle name="ext" joint="elbow" gear="-0.05"
+            lengthrange="-0.06 0.06" scale="400" tausmooth="0.05"/>
+  </actuator>
+</mujoco>
+"""
+
+MUSCLE_TENDON_XML = """
+<mujoco model="muscle_tendon">
+  <option timestep="0.002"/>
+  <worldbody>
+    <site name="anchor" pos="0 0 1"/>
+    <body name="arm" pos="0 0 0.7">
+      <joint name="j" type="hinge" axis="0 1 0" damping="0.05"/>
+      <geom type="capsule" size="0.03 0.12" fromto="0 0 0 0 0 -0.24"/>
+      <site name="tip" pos="0.05 0 -0.1"/>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="tendon1">
+      <site site="anchor"/>
+      <site site="tip"/>
+    </spatial>
+  </tendon>
+  <actuator>
+    <muscle name="m" tendon="tendon1" lengthrange="0.25 0.45"/>
+  </actuator>
+</mujoco>
+"""
+
+FILTEREXACT_XML = """
+<mujoco model="fexact">
+  <option timestep="0.01"/>
+  <worldbody>
+    <body name="b" pos="0 0 1">
+      <joint name="j" type="hinge" axis="0 1 0" damping="0.02"/>
+      <geom type="capsule" size="0.03 0.1" fromto="0 0 0 0.2 0 0"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <general name="g" joint="j" dyntype="filterexact" dynprm="0.08"
+             gainprm="2.5"/>
+    <general name="glim" joint="j" dyntype="filter" dynprm="0.05"
+             gainprm="1.0" actlimited="true" actrange="-0.2 0.2"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def _rollout_both(xml, nsteps, ctrl):
+    mm = oracle.load_oracle_string(xml)
+    qpos_o, qvel_o = oracle.rollout(mm, nsteps, ctrl=ctrl)
+    m = mjcf.load_model_from_string(xml)
+    d = fwd.make_data(m)
+    d = d.replace(ctrl=jnp.asarray(ctrl, dtype=d.ctrl.dtype))
+    step = jax.jit(lambda dd: fwd.step(m, dd))
+    traj = []
+    for _ in range(nsteps):
+        d = step(d)
+        traj.append(np.asarray(d.qpos))
+    return np.array(traj), qpos_o, m, d
+
+
+def test_acc0_matches_oracle():
+    mm = oracle.load_oracle_string(MUSCLE_JOINT_XML)
+    m = mjcf.load_model_from_string(MUSCLE_JOINT_XML)
+    np.testing.assert_allclose(np.asarray(m.actuator_acc0), mm.actuator_acc0,
+                               rtol=1e-6)
+
+
+def test_muscle_joint_trajectory():
+    traj, qpos_o, m, d = _rollout_both(MUSCLE_JOINT_XML, 300, [0.7, 0.2])
+    np.testing.assert_allclose(traj[-1], qpos_o[-1], atol=1e-6)
+    # activations stay in the muscle's natural range
+    assert np.all(np.asarray(d.act) >= -1e-9)
+    assert np.all(np.asarray(d.act) <= 1.0 + 1e-9)
+
+
+def test_muscle_tendon_trajectory():
+    traj, qpos_o, _, _ = _rollout_both(MUSCLE_TENDON_XML, 300, [0.8])
+    np.testing.assert_allclose(traj[-1], qpos_o[-1], atol=1e-6)
+
+
+def test_filterexact_and_act_clamp():
+    traj, qpos_o, m, d = _rollout_both(FILTEREXACT_XML, 200, [0.9, -0.8])
+    np.testing.assert_allclose(traj[-1], qpos_o[-1], atol=1e-7)
+    # the limited filter's activation must sit at its clamp
+    mm = oracle.load_oracle_string(FILTEREXACT_XML)
+    dd = mujoco.MjData(mm)
+    dd.ctrl[:] = [0.9, -0.8]
+    for _ in range(200):
+        mujoco.mj_step(mm, dd)
+    np.testing.assert_allclose(np.asarray(d.act), dd.act, atol=1e-9)
+    assert abs(float(d.act[1]) + 0.2) < 1e-8   # clamped at actrange lo
+
+
+def test_muscle_requires_lengthrange():
+    bad = MUSCLE_JOINT_XML.replace(' lengthrange="-0.06 0.06"', "", 1)
+    with pytest.raises(ValueError, match="lengthrange"):
+        mjcf.load_model_from_string(bad)
+
+
+def test_muscle_curves_vs_bindings():
+    """Dense pointwise pin of the three mju_muscle* curves."""
+    prm9 = np.array([0.75, 1.05, -1.0, 200.0, 0.5, 1.6, 1.5, 1.3, 1.2])
+    lr = np.array([0.2, 0.6])
+    acc0 = 17.3
+    for tausm in (0.0, 0.1):
+        dynprm = np.array([0.01, 0.04, tausm])
+        for ctrl in np.linspace(-0.3, 1.3, 9):
+            for act in np.linspace(-0.2, 1.2, 9):
+                o = mujoco.mju_muscleDynamics(ctrl, act, dynprm)
+                r = float(muscle.dynamics(jnp.float64(ctrl),
+                                          jnp.float64(act),
+                                          jnp.asarray(dynprm)))
+                assert abs(o - r) < 1e-9 * max(1.0, abs(o))
+    for ln in np.linspace(0.1, 0.9, 17):
+        for vel in (-1.2, -0.3, 0.0, 0.4, 1.1):
+            o = mujoco.mju_muscleGain(ln, vel, lr, acc0, prm9)
+            r = float(muscle.gain(jnp.float64(ln), jnp.float64(vel),
+                                  jnp.asarray(lr), acc0, jnp.asarray(prm9)))
+            assert abs(o - r) < 1e-9 * max(1.0, abs(o))
+        o = mujoco.mju_muscleBias(ln, lr, acc0, prm9)
+        r = float(muscle.bias(jnp.float64(ln), jnp.asarray(lr), acc0,
+                              jnp.asarray(prm9)))
+        assert abs(o - r) < 1e-9 * max(1.0, abs(o))
