@@ -529,7 +529,6 @@ class Data:
 
     # mass matrix (dense) and factorization
     qM: jax.Array            # (nv, nv)
-    qLD: jax.Array           # (nv, nv) cholesky factor (lower)
 
     # forces
     qfrc_bias: jax.Array     # (nv,)

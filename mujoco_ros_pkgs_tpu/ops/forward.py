@@ -59,7 +59,7 @@ def make_data(m: Model, dtype=None) -> Data:
         site_xpos=z(m.nsite, 3), site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.nsite, 1, 1)),
         subtree_com=z(m.nbody, 3), cinert=z(m.nbody, 10), cdof=z(m.nv, 6),
         cvel=z(m.nbody, 6), cdof_dot=z(m.nv, 6),
-        qM=z(m.nv, m.nv), qLD=z(m.nv, m.nv),
+        qM=z(m.nv, m.nv),
         qfrc_bias=z(m.nv), qfrc_passive=z(m.nv), qfrc_actuator=z(m.nv),
         qfrc_smooth=z(m.nv), qacc_smooth=z(m.nv), qfrc_constraint=z(m.nv),
         qacc=z(m.nv), qacc_warmstart=z(m.nv),
@@ -193,8 +193,8 @@ def euler(m: Model, d: Data) -> Data:
     if m.has_damping:
         MhB = d.qM + h * jnp.diag(m.dof_damping)
         qfrc = d.qfrc_smooth + d.qfrc_constraint
-        qacc = jax.scipy.linalg.cho_solve(
-            (jax.scipy.linalg.cholesky(MhB, lower=True), True), qfrc)
+        from mujoco_ros_pkgs_tpu.ops import linalg_tpu
+        qacc = linalg_tpu.psd_solve(MhB, qfrc)
     return _advance(m, d, qacc, d.act_dot)
 
 
@@ -236,8 +236,8 @@ def implicitfast(m: Model, d: Data) -> Data:
     A = d.qM - h * qD
     A = 0.5 * (A + A.T)                                 # symmetrize
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    qacc = jax.scipy.linalg.cho_solve(
-        (jax.scipy.linalg.cholesky(A, lower=True), True), qfrc)
+    from mujoco_ros_pkgs_tpu.ops import linalg_tpu
+    qacc = linalg_tpu.psd_solve(A, qfrc)
     return _advance(m, d, qacc, d.act_dot)
 
 

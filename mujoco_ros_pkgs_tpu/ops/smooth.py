@@ -407,14 +407,13 @@ def crb(m: Model, d: Data) -> Data:
     strict = jnp.asarray(amask & ~np.eye(m.nv, dtype=bool))
     qM = G * lower + (G * strict).T
     qM = qM + jnp.diag(m.dof_armature)
-    qLD = jax.scipy.linalg.cholesky(qM, lower=True)
-    return d.replace(qM=qM, qLD=qLD)
+    return d.replace(qM=qM)
 
 
 def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
-    """M^{-1} x via the cached Cholesky factor (mj_solveM)."""
-    y = jax.scipy.linalg.solve_triangular(d.qLD, x, lower=True)
-    return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+    """M^{-1} x (mj_solveM) — fused batched Cholesky solve on TPU."""
+    from mujoco_ros_pkgs_tpu.ops import linalg_tpu
+    return linalg_tpu.psd_solve(d.qM, x)
 
 
 def mul_m(m: Model, d: Data, x: jax.Array) -> jax.Array:

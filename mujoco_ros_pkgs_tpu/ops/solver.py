@@ -346,7 +346,6 @@ def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
     niter = int(m.opt.iterations)
     nls = max(2, int(m.opt.ls_iterations))
     tol = m.opt.tolerance
-    ls_tol = m.opt.ls_tolerance
 
     # bracket grid for the vectorized line search: phi'(alpha) is evaluated at
     # ALL of these in ONE batched force pass (an alpha axis on the efc arrays —
@@ -369,8 +368,8 @@ def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
             JW = jnp.matmul(W, g.J)              # (C, dim, nv)
             H = H + jnp.tensordot(g.J, JW, axes=[[0, 1], [0, 1]])
         H = H + 1e-12 * jnp.eye(nv, dtype=dtype)
-        L = jax.scipy.linalg.cholesky(H, lower=True)
-        dx = -jax.scipy.linalg.cho_solve((L, True), grad)
+        from mujoco_ros_pkgs_tpu.ops import linalg_tpu
+        dx = -linalg_tpu.psd_solve(H, grad)
 
         v = J @ dx
         vs = [jnp.matmul(g.J.reshape(-1, nv), dx).reshape(g.aref.shape)
@@ -400,36 +399,38 @@ def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
         hi = jnp.min(jnp.where(neg, jnp.full_like(grid, grid[-1]), grid))
         hi = jnp.maximum(hi, lo)              # all-negative grid: collapse at top
 
-        # safeguarded Newton/bisection polish inside the bracket; exits when
-        # the bracket width is below ls_tolerance (relative to the bracket top)
-        def ls_cond(carry):
-            lo, hi, alpha, it = carry
-            return (it < nls) & ((hi - lo) > ls_tol * jnp.maximum(hi, 1.0))
-
-        def ls_body(carry):
-            lo, hi, alpha, it = carry
-            d1, d2 = dphi(alpha)
-            lo = jnp.where(d1 < 0, alpha, lo)
-            hi = jnp.where(d1 >= 0, alpha, hi)
-            newton = alpha - d1 / jnp.maximum(d2, mmath.MINVAL)
-            inb = (newton > lo) & (newton < hi)
-            alpha = jnp.where(inb, newton, 0.5 * (lo + hi))
-            return lo, hi, alpha, it + 1
-
-        ls0 = (lo, hi, 0.5 * (lo + hi), jnp.zeros((), dtype=jnp.int32))
-        if _unroll_mode() in ("ls", "full"):
-            # fixed-trip masked unroll: identical results (lanes freeze when
-            # the while condition would fail), but straight-line code XLA can
-            # fuse — dynamic control flow serializes poorly on TPU
-            carry = ls0
-            for _ in range(nls):
-                cont = ls_cond(carry)
-                nxt = ls_body(carry)
-                carry = tuple(jnp.where(cont, n, c)
-                              for n, c in zip(nxt, carry))
-            alpha = carry[2]
-        else:
-            _, _, alpha, _ = jax.lax.while_loop(ls_cond, ls_body, ls0)
+        # polish: phi is convex along dx, so phi' is nondecreasing in alpha —
+        # each pass evaluates K points of [lo, hi] in ONE batched force pass
+        # (an alpha axis on the row arrays) and tightens the bracket to the
+        # sign change; sequential-dependency depth per Newton iteration is
+        # `npass` instead of the old bisection loop's nls (the dominant cost
+        # on TPU: each while-loop body is a serialized program execution)
+        K = 8
+        npass = 1 if nls <= 8 else 2
+        frac = jnp.linspace(0.0, 1.0, K).astype(dtype)
+        d1_lo = jnp.where(jnp.any(neg), jnp.max(
+            jnp.where(neg, d1_grid, -jnp.inf)), -1.0)
+        d1_hi = jnp.where(jnp.any(~neg), jnp.min(
+            jnp.where(~neg, d1_grid, jnp.inf)), 1.0)
+        for _ in range(npass):
+            pts = lo + (hi - lo) * frac
+            d1s = jax.vmap(lambda a: dphi(a, False)[0])(pts)
+            negs = d1s < 0                    # prefix (phi' monotone)
+            n_neg = jnp.sum(negs)
+            lo_i = jnp.clip(n_neg - 1, 0, K - 1)
+            hi_i = jnp.clip(n_neg, 0, K - 1)
+            new_lo = jnp.where(n_neg > 0, pts[lo_i], lo)
+            new_hi = jnp.where(n_neg < K, pts[hi_i], hi)
+            d1_lo = jnp.where(n_neg > 0, d1s[lo_i], d1_lo)
+            d1_hi = jnp.where(n_neg < K, d1s[hi_i], d1_hi)
+            lo, hi = new_lo, jnp.maximum(new_hi, new_lo)
+        # secant finish on the (smooth, monotone) derivative
+        denom = d1_hi - d1_lo
+        alpha = jnp.where(jnp.abs(denom) > mmath.MINVAL,
+                          lo - d1_lo * (hi - lo) / jnp.where(
+                              jnp.abs(denom) > mmath.MINVAL, denom, 1.0),
+                          0.5 * (lo + hi))
+        alpha = jnp.clip(alpha, lo, hi)
 
         # directional-derivative convergence: phi'(0) = <grad, dx> bounds the
         # achievable improvement (improvement <= -0.5*alpha*phi'(0) at the

@@ -129,6 +129,7 @@ class MujocoServer:
         self.paused = not unpause
         self.num_steps_until_exit = num_steps
         self.realtime_factor = realtime   # fraction of real time; -1 unbound
+        self._speed_changed = False
         self.measured_slowdown = 0.0
         self._exit_request = False
         self._lock = threading.RLock()
@@ -636,11 +637,15 @@ class MujocoServer:
         cpu_start = _time.perf_counter()
         sim_start = self.sim_time
         while not self._exit_request and self.num_steps_until_exit != 0:
-            if self.paused:
-                _time.sleep(0.001)
+            if self.paused or self._speed_changed:
+                # re-sync the pacing baseline on pause or speed change
+                # (speed_changed handling, mujoco_env.cpp:490-521)
+                self._speed_changed = False
                 cpu_start = _time.perf_counter()
                 sim_start = self.sim_time
-                continue
+                if self.paused:
+                    _time.sleep(0.001)
+                    continue
             chunk = 8 if self.realtime_factor < 0 else 1
             if self.num_steps_until_exit > 0:
                 chunk = min(chunk, self.num_steps_until_exit)
@@ -687,6 +692,72 @@ class MujocoServer:
         with self._lock:
             self._originate("set_pause", paused, admin_hash)
             self.paused = bool(paused)
+        return ServiceResult(True, "")
+
+    def set_speed(self, factor: float, admin_hash: str = "") -> ServiceResult:
+        """Real-time pacing control (the viewer's speed slider /
+        percentRealTime grid, mujoco_env.h:236-239). factor <= 0 = unbound."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        with self._lock:
+            self._originate("set_speed", factor, admin_hash)
+            self.realtime_factor = float(factor) if factor > 0 else -1.0
+            self._speed_changed = True
+        return ServiceResult(True, "")
+
+    def set_ctrl(self, values, env_id: Optional[int] = None,
+                 admin_hash: str = "") -> ServiceResult:
+        """Live control-vector editing — the viewer's control sliders synced
+        under the physics mutex (viewer.cpp Sync, :1552-1871). env_id None
+        writes all envs."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        vals = np.asarray(values, dtype=np.float64)
+        if vals.shape != (self.m.nu,):
+            return ServiceResult(
+                False, f"ctrl needs shape ({self.m.nu},), got {vals.shape}")
+        with self._lock:
+            self._originate("set_ctrl", vals.tolist(), env_id, admin_hash)
+            v = jnp.asarray(vals, dtype=self.d.ctrl.dtype)
+            if env_id is None:
+                ctrl = jnp.broadcast_to(v, self.d.ctrl.shape)
+            else:
+                if not (0 <= env_id < self.nenv):
+                    return ServiceResult(False, f"bad env_id {env_id}")
+                ctrl = self.d.ctrl.at[env_id].set(v)
+            self.d = self.d.replace(ctrl=ctrl)
+        return ServiceResult(True, "")
+
+    def set_qpos(self, values, env_id: Optional[int] = None,
+                 zero_qvel: bool = False,
+                 admin_hash: str = "") -> ServiceResult:
+        """Live qpos editing — the viewer's joint sliders (viewer.cpp Sync).
+        env_id None writes all envs; zero_qvel additionally stills them."""
+        err = self._check_hash(admin_hash)
+        if err:
+            return err
+        vals = np.asarray(values, dtype=np.float64)
+        if vals.shape != (self.m.nq,):
+            return ServiceResult(
+                False, f"qpos needs shape ({self.m.nq},), got {vals.shape}")
+        with self._lock:
+            self._originate("set_qpos", vals.tolist(), env_id, zero_qvel,
+                            admin_hash)
+            v = jnp.asarray(vals, dtype=self.d.qpos.dtype)
+            upd = {}
+            if env_id is None:
+                upd["qpos"] = jnp.broadcast_to(v, self.d.qpos.shape)
+                if zero_qvel:
+                    upd["qvel"] = jnp.zeros_like(self.d.qvel)
+            else:
+                if not (0 <= env_id < self.nenv):
+                    return ServiceResult(False, f"bad env_id {env_id}")
+                upd["qpos"] = self.d.qpos.at[env_id].set(v)
+                if zero_qvel:
+                    upd["qvel"] = self.d.qvel.at[env_id].set(0.0)
+            self.d = self.d.replace(**upd)
         return ServiceResult(True, "")
 
     def shutdown(self) -> ServiceResult:
@@ -1276,10 +1347,87 @@ class MujocoServer:
             return np.asarray(rgb, dtype=np.uint8)
 
         try:
-            self._watch = WatchServer(frame, port=port, fps=fps, host=host)
+            self._watch = WatchServer(frame, port=port, fps=fps, host=host,
+                                      control=self._watch_control())
         except OSError as exc:
             return ServiceResult(False, f"watch bind failed: {exc}")
         return ServiceResult(True, str(self._watch.port))
+
+    def _watch_control(self) -> dict:
+        """JSON endpoint table for the watch UI (server/watch.py): each entry
+        maps a parsed request body onto an existing service call — the
+        headless analogue of the viewer's interactive Sync editing opt, qpos
+        and ctrl under the physics mutex (viewer.cpp:1552-1871). The admin
+        hash rides in the body and is enforced by the services."""
+
+        def res(r) -> dict:
+            return {"success": bool(r.success),
+                    "message": getattr(r, "status_message", "")}
+
+        def pause(b):
+            return res(self.set_pause(bool(b.get("paused", True)),
+                                      admin_hash=b.get("admin_hash", "")))
+
+        def step(b):
+            r = self.step(int(b.get("n", 1)))
+            return {"success": bool(r.success),
+                    "message": "" if r.success
+                               else "rejected (running or bad n)"}
+
+        def reset(b):
+            return res(self.reset(admin_hash=b.get("admin_hash", "")))
+
+        def speed(b):
+            return res(self.set_speed(float(b.get("factor", -1.0)),
+                                      admin_hash=b.get("admin_hash", "")))
+
+        def keyframe(b):
+            act = b.get("action", "load")
+            if act == "load":
+                r = self.load_keyframe(b.get("key", 0),
+                                       admin_hash=b.get("admin_hash", ""))
+            elif act == "save":
+                r = self.save_keyframe(int(b.get("key", 0)),
+                                       env_id=int(b.get("env_id", 0)),
+                                       admin_hash=b.get("admin_hash", ""))
+            else:
+                return {"success": False, "message": f"bad action '{act}'"}
+            return res(r)
+
+        def ctrl(b):
+            return res(self.set_ctrl(b.get("values", []),
+                                     env_id=b.get("env_id"),
+                                     admin_hash=b.get("admin_hash", "")))
+
+        def qpos(b):
+            return res(self.set_qpos(b.get("values", []),
+                                     env_id=b.get("env_id"),
+                                     zero_qvel=bool(b.get("zero_qvel", False)),
+                                     admin_hash=b.get("admin_hash", "")))
+
+        def physics(b):
+            return res(self.set_physics_properties(
+                dict(b.get("props", {})),
+                admin_hash=b.get("admin_hash", "")))
+
+        def wrench(b):
+            return res(self.apply_body_wrench(
+                b.get("body", ""),
+                force=b.get("force", (0.0, 0.0, 0.0)),
+                torque=b.get("torque", (0.0, 0.0, 0.0)),
+                env_id=b.get("env_id"),
+                admin_hash=b.get("admin_hash", "")))
+
+        def stats(b):
+            s = self.get_solver_stats()
+            s.update(paused=self.paused,
+                     realtime_factor=self.realtime_factor,
+                     physics=self.get_physics_properties())
+            return s
+
+        return dict(pause=pause, step=step, reset=reset, speed=speed,
+                    keyframe=keyframe, ctrl=ctrl, qpos=qpos, physics=physics,
+                    wrench=wrench, stats=stats)
 
     def stop_watch(self) -> ServiceResult:
         if self._watch is None:
@@ -1329,33 +1477,42 @@ class MujocoServer:
         return ServiceResult(True, "")
 
     def save_xml(self, path: str, admin_hash: str = "") -> ServiceResult:
-        """Save the model XML (viewer save_xml, viewer.h:169-177).
-
-        NOTE: this writes the LOAD-TIME source document. Runtime edits made
-        through services (set_geom_properties, set_physics_properties, ...)
-        live in the compiled Model only and are NOT serialized back — the
-        ServiceResult message says so whenever such edits exist. (The
-        reference serializes the live mjModel via mj_saveLastXML; a full
-        Model->MJCF writer is tracked as future work.)"""
+        """Save the LIVE model as MJCF (viewer save_xml via mj_saveLastXML,
+        viewer.cpp:1671-1690): the compiled Model — including runtime edits
+        made through set_geom_properties / set_physics_properties / gravity —
+        is serialized by core/mjcf_writer.py, so save -> reload reproduces
+        the edited model's trajectories (tests/test_mjcf_writer.py). Falls
+        back to the load-time source if the live model has no writer support
+        (says so in the result message)."""
         err = self._check_hash(admin_hash)
         if err:
             return err
-        src = self._model_source
-        if "<" not in src:               # path: re-read the file contents
+        from mujoco_ros_pkgs_tpu.core import mjcf_writer
+        try:
+            with self._lock:
+                xml = mjcf_writer.model_to_xml(self.m)
+        except Exception as exc:
+            self._log.warning("live-model writer failed (%s); saving the "
+                              "load-time source instead", exc)
+            src = self._model_source
+            if "<" not in src:
+                try:
+                    with open(src) as f:
+                        src = f.read()
+                except OSError as exc2:
+                    return ServiceResult(False, str(exc2))
             try:
-                with open(src) as f:
-                    src = f.read()
-            except OSError as exc:
-                return ServiceResult(False, str(exc))
+                with open(path, "w") as f:
+                    f.write(src)
+            except OSError as exc2:
+                return ServiceResult(False, str(exc2))
+            return ServiceResult(
+                True, f"{path} (load-time source; live writer failed: {exc})")
         try:
             with open(path, "w") as f:
-                f.write(src)
+                f.write(xml)
         except OSError as exc:
             return ServiceResult(False, str(exc))
-        if getattr(self, "_runtime_model_edits", False):
-            return ServiceResult(
-                True, f"{path} (load-time source; runtime model edits via "
-                      f"set_geom/physics/gravity services are NOT serialized)")
         return ServiceResult(True, path)
 
     def save_mjb(self, path: str, admin_hash: str = "") -> ServiceResult:

@@ -1,22 +1,32 @@
-"""Live watch: a continuous HTTP view of a running simulation.
+"""Live watch: a continuous HTTP view + operator control of a running sim.
 
-The reference's operators watch the GLFW viewer window (viewer.cpp RenderLoop,
-:2262-2383). A TPU pod server is headless, so the live view is an HTTP
-endpoint instead: `/stream` is a multipart/x-mixed-replace stream of PNG
-frames (motion-PNG — rendered by every mainstream browser exactly like MJPEG),
-`/frame.png` a single snapshot, and `/` a minimal page embedding the stream.
-Frames come from the server's existing offscreen render path at a configured
-rate; rendering happens in the HTTP thread, never blocking the physics loop.
+The reference's operators watch AND drive the GLFW viewer window (viewer.cpp
+RenderLoop :2262-2383; Sync :1552-1871 syncs GUI edits of opt/qpos/ctrl into
+the engine under the physics mutex). A TPU pod server is headless, so both
+surfaces are HTTP instead:
 
+- `/stream`: multipart/x-mixed-replace stream of PNG frames (motion-PNG —
+  rendered by every mainstream browser exactly like MJPEG);
+- `/frame.png`: single snapshot; `/`: control page embedding the stream;
+- `POST /api/<name>`: JSON control endpoints driving the server's existing
+  service surface (pause/run, step-N, reset, speed, keyframe load/save,
+  ctrl/qpos live edit, physics properties, body wrench) — the headless
+  equivalent of the viewer's interactive Sync. The admin hash rides in the
+  JSON body (`admin_hash`) and is enforced by the services themselves;
+- `GET /api/stats`: solver/realtime diagnostics JSON (the profiler figures).
+
+Rendering and control run in HTTP threads, never blocking the physics loop
+(services take the physics lock exactly like any other control-plane call).
 stdlib-only (http.server + utils/png.py) — no new dependencies.
 """
 
 from __future__ import annotations
 
+import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable, Optional
+from typing import Callable, Dict, Optional
 
 import numpy as np
 
@@ -26,9 +36,54 @@ from mujoco_ros_pkgs_tpu.utils.log import get_logger
 _log = get_logger("watch")
 
 _PAGE = b"""<!doctype html>
-<html><head><title>mujoco_ros_pkgs_tpu live view</title></head>
-<body style="margin:0;background:#111;display:grid;place-items:center;height:100vh">
-<img src="/stream" style="max-width:100%;max-height:100%"/>
+<html><head><title>mujoco_ros_pkgs_tpu live view</title>
+<style>
+ body{margin:0;background:#111;color:#ddd;font:13px system-ui;display:grid;
+      grid-template-rows:auto 1fr;height:100vh}
+ #bar{padding:6px;display:flex;gap:6px;align-items:center;background:#1b1b1b}
+ button{background:#333;color:#ddd;border:1px solid #555;border-radius:3px;
+        padding:4px 10px;cursor:pointer}
+ button:hover{background:#444}
+ input{width:70px;background:#222;color:#ddd;border:1px solid #555}
+ #stats{margin-left:auto;font-family:monospace;white-space:pre}
+ #view{display:grid;place-items:center;overflow:hidden}
+ img{max-width:100%;max-height:100%}
+</style></head>
+<body>
+<div id="bar">
+ <button onclick="api('pause',{paused:true})">pause</button>
+ <button onclick="api('pause',{paused:false})">run</button>
+ <input id="nsteps" value="100"/>
+ <button onclick="api('step',{n:+document.getElementById('nsteps').value})">step</button>
+ <button onclick="api('reset',{})">reset</button>
+ <input id="speed" value="1.0"/>
+ <button onclick="api('speed',{factor:+document.getElementById('speed').value})">speed</button>
+ <input id="key" value="0"/>
+ <button onclick="api('keyframe',{action:'load',key:+document.getElementById('key').value})">load key</button>
+ <button onclick="api('keyframe',{action:'save',key:+document.getElementById('key').value})">save key</button>
+ <input id="hash" placeholder="admin hash"/>
+ <span id="stats"></span>
+</div>
+<div id="view"><img src="/stream"/></div>
+<script>
+async function api(name, body){
+  body.admin_hash = document.getElementById('hash').value;
+  const r = await fetch('/api/'+name, {method:'POST',
+    headers:{'Content-Type':'application/json'}, body:JSON.stringify(body)});
+  const j = await r.json();
+  if(!j.success) alert(name+': '+(j.message||'failed'));
+}
+async function poll(){
+  try{
+    const r = await fetch('/api/stats'); const s = await r.json();
+    document.getElementById('stats').textContent =
+      `t=${(+s.sim_time).toFixed(2)}s rt=${(+s.measured_slowdown).toFixed(2)}x `+
+      `ncon=${s.ncon_active} it=${s.solver_iterations_realized}`;
+  }catch(e){}
+  setTimeout(poll, 1000);
+}
+poll();
+</script>
 </body></html>
 """
 
@@ -36,23 +91,66 @@ _BOUNDARY = "mrpframe"
 
 
 class WatchServer:
-    """Serve live PNG frames over HTTP.
+    """Serve live PNG frames + JSON control endpoints over HTTP.
 
     frame_fn: () -> (H, W, 3) uint8 RGB array (called at most `fps` times/s;
-    one render is shared by all connected clients via a tiny cache)."""
+    one render is shared by all connected clients via a tiny cache).
+    control: optional dict name -> callable(body_dict) -> jsonable dict,
+    exposed as POST /api/<name>. A "stats" entry is additionally exposed as
+    GET /api/stats."""
 
     def __init__(self, frame_fn: Callable[[], np.ndarray], port: int = 0,
-                 fps: float = 10.0, host: str = "127.0.0.1"):
+                 fps: float = 10.0, host: str = "127.0.0.1",
+                 control: Optional[Dict[str, Callable]] = None):
         self._frame_fn = frame_fn
         self._fps = max(float(fps), 0.1)
         self._cache: Optional[bytes] = None
         self._cache_t = 0.0
         self._cache_lock = threading.Lock()
+        self._control = dict(control or {})
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, fmt, *args):   # route to the named logger
                 _log.debug("http %s", fmt % args)
+
+            def _json(self, obj, code=200):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_POST(self):
+                try:
+                    if not self.path.startswith("/api/"):
+                        self.send_error(404)
+                        return
+                    name = self.path[len("/api/"):]
+                    fn = outer._control.get(name)
+                    if fn is None:
+                        self._json({"success": False,
+                                    "message": f"no endpoint '{name}'"}, 404)
+                        return
+                    n = int(self.headers.get("Content-Length", "0") or 0)
+                    raw = self.rfile.read(n) if n else b"{}"
+                    try:
+                        body = json.loads(raw or b"{}")
+                        if not isinstance(body, dict):
+                            raise ValueError("body must be a JSON object")
+                    except ValueError as exc:
+                        self._json({"success": False,
+                                    "message": f"bad JSON: {exc}"}, 400)
+                        return
+                    try:
+                        self._json(fn(body))
+                    except Exception as exc:   # endpoint bug != dead server
+                        _log.error("api/%s failed: %s", name, exc)
+                        self._json({"success": False, "message": str(exc)},
+                                   500)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
 
             def do_GET(self):
                 try:
@@ -62,6 +160,13 @@ class WatchServer:
                         self.send_header("Content-Length", str(len(_PAGE)))
                         self.end_headers()
                         self.wfile.write(_PAGE)
+                    elif (self.path == "/api/stats"
+                          and "stats" in outer._control):
+                        try:
+                            self._json(outer._control["stats"]({}))
+                        except Exception as exc:
+                            self._json({"success": False,
+                                        "message": str(exc)}, 500)
                     elif self.path == "/frame.png":
                         data = outer._encoded_frame()
                         self.send_response(200)
