@@ -52,6 +52,48 @@ _EFFORT_CHANNEL = (int(ControlMethod.EFFORT), int(ControlMethod.POSITION_PID),
                    int(ControlMethod.VELOCITY_PID))
 
 
+class HardwareSim:
+    """Second-level hardware-simulation interface — the RobotHWSim seam
+    (mujoco_ros_control/include/mujoco_ros_control/robot_hw_sim.h:62).
+
+    `RosControlPlugin` hosts whichever implementation its config names
+    (`hardware: {type: "..."}`), defaulting to `DefaultRobotHWSim`. Custom
+    hardware models register with `register_hardware_sim` — the analogue of
+    the reference's second-level pluginlib loading
+    (mujoco_ros_control_plugin.cpp:126-147)."""
+
+    def init_sim(self, plugin: "RosControlPlugin", m: Model) -> bool:
+        """Bind to the hosting plugin's joint tables; False quarantines."""
+        self.plugin = plugin
+        return True
+
+    def init_state(self, m: Model, batch: int):
+        return ()
+
+    def read_sim(self, m: Model, d: Data) -> Dict[str, Any]:
+        """Joint state vectors (readSim, default_robot_hw_sim.cpp:230-246)."""
+        p = self.plugin
+        qadrs = np.array(p.qpos_adr)
+        dofs = np.array(p.dof_adr)
+        return dict(position=d.qpos[qadrs], velocity=d.qvel[dofs],
+                    effort=d.qfrc_applied[dofs])
+
+    def write_sim(self, m: Model, d: Data, ps: Any) -> Tuple[Data, Any]:
+        """Apply commands to the sim (writeSim); runs inside the compiled
+        step's control hook. Must be pure/traceable."""
+        raise NotImplementedError
+
+
+_HW_REGISTRY: Dict[str, type] = {}
+
+
+def register_hardware_sim(name: str, cls: type) -> None:
+    """Register a custom HardwareSim implementation by type name."""
+    if not issubclass(cls, HardwareSim):
+        raise TypeError(f"{cls} must subclass HardwareSim")
+    _HW_REGISTRY[name] = cls
+
+
 class RosControlPlugin(MujocoPlugin):
     """config = {
         # EITHER a URDF whose <transmission> elements define the joints
@@ -127,7 +169,17 @@ class RosControlPlugin(MujocoPlugin):
         self.soft = np.array(soft)                     # (nj, 5)
         self.control_period = float(self.config.get(
             "control_period", float(np.asarray(m.opt.timestep))))
-        return True
+        hw_cfg = self.config.get("hardware", {}) or {}
+        hw_type = hw_cfg.get("type", "mujoco_ros_control/DefaultRobotHWSim")
+        hw_cls = _HW_REGISTRY.get(hw_type)
+        if hw_cls is None:
+            self._log_error = (f"unknown hardware sim type '{hw_type}' "
+                               f"(registered: {sorted(_HW_REGISTRY)})")
+            raise ValueError(self._log_error)
+        self.hw = hw_cls()
+        if hw_cfg.get("control_period") is not None:
+            self.control_period = float(hw_cfg["control_period"])
+        return bool(self.hw.init_sim(self, m))
 
     def init_state(self, m: Model, batch: int) -> Any:
         nj = len(self.joint_ids)
@@ -148,6 +200,27 @@ class RosControlPlugin(MujocoPlugin):
 
     # -- in-graph --
     def control(self, m: Model, d: Data, ps: Any) -> Tuple[Data, Any]:
+        """controlCallback: control-period decimation + readSim/update/
+        writeSim through the hosted HardwareSim implementation
+        (mujoco_ros_control_plugin.cpp:153-194)."""
+        return self.hw.write_sim(m, d, ps)
+
+
+class DefaultRobotHWSim(HardwareSim):
+    """The reference's DefaultRobotHWSim: EFFORT / POSITION / POSITION_PID /
+    VELOCITY / VELOCITY_PID with PID, hard + URDF soft joint limits, e-stop
+    semantics (default_robot_hw_sim.cpp:84-446), fully vectorized."""
+
+    def write_sim(self, m: Model, d: Data, ps: Any) -> Tuple[Data, Any]:
+        self_ = self.plugin
+        return _default_write_sim(self_, m, d, ps)
+
+
+register_hardware_sim("mujoco_ros_control/DefaultRobotHWSim",
+                      DefaultRobotHWSim)
+
+
+def _default_write_sim(self, m: Model, d: Data, ps: Any) -> Tuple[Data, Any]:
         dtype = d.qpos.dtype
         dofs = np.array(self.dof_adr)
         qadrs = np.array(self.qpos_adr)

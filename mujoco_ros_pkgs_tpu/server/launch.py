@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="MJCF path (or XML string via --model-string)")
     ap.add_argument("--model-string", action="store_true",
                     help="treat --modelfile as literal XML")
+    ap.add_argument("--wait-for-model", type=float, default=0.0, metavar="S",
+                    help="poll up to S seconds for --modelfile to appear "
+                         "before loading (the reference's wait_for_xml "
+                         "busy-wait on the param server, main.cpp:103-129); "
+                         "0 = require the file up front")
     ap.add_argument("--nenv", type=int, default=1,
                     help="lockstep env instances (batch size)")
     ap.add_argument("--unpause", action="store_true", default=True)
@@ -153,6 +158,16 @@ def main(argv=None) -> int:
 
     cfg = load_config(args.config)
     model = args.modelfile
+    if args.wait_for_model > 0 and not args.model_string:
+        import os as _os
+        import time as _time
+        deadline = _time.monotonic() + args.wait_for_model
+        while not _os.path.exists(model):
+            if _time.monotonic() >= deadline:
+                print(f"model file '{model}' did not appear within "
+                      f"{args.wait_for_model:.0f}s", file=sys.stderr)
+                return 2
+            _time.sleep(0.1)
     cam_config = dict(cfg.get("cam_config", {}))
     if args.png_dir:   # "*" = defaults applied to every camera
         cam_config.setdefault("*", {})["png_dir"] = args.png_dir

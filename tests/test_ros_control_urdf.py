@@ -7,6 +7,7 @@ Mirrors the reference semantics: the plugin blocks on a URDF
 URDF hard+soft limits enforced via joint_limits_interface handles
 (default_robot_hw_sim.cpp:340-446)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -178,3 +179,48 @@ def test_soft_limit_position_interface():
     q = float(np.asarray(s.d.qpos)[0, s.m.jnt_qposadr[j5]])
     assert q <= 1.52, q          # held at the soft bound
     assert q > 1.3, q            # but did walk up to it
+
+
+def test_custom_hardware_sim_seam():
+    """The RobotHWSim second-level plugin seam (robot_hw_sim.h:62 /
+    mujoco_ros_control_plugin.cpp:126-147): a custom HardwareSim registered
+    by type name replaces DefaultRobotHWSim inside the hosting plugin."""
+    from mujoco_ros_pkgs_tpu.plugins.ros_control import (
+        HardwareSim, register_hardware_sim)
+
+    calls = {"init": 0}
+
+    class ConstantEffortHW(HardwareSim):
+        def init_sim(self, plugin, m):
+            super().init_sim(plugin, m)
+            calls["init"] += 1
+            return True
+
+        def write_sim(self, m, d, ps):
+            dofs = np.array(self.plugin.dof_adr)
+            eff = jnp.where(ps["estop"], 0.0, 3.0)
+            qfrc = d.qfrc_applied.at[dofs].set(eff)
+            return d.replace(qfrc_applied=qfrc), ps
+
+    register_hardware_sim("test/ConstantEffortHW", ConstantEffortHW)
+    p = RosControlPlugin({"robot_description": ARM_URDF,
+                          "hardware": {"type": "test/ConstantEffortHW"}})
+    s = MujocoServer(worlds.ARM7, nenv=1, unpause=False, plugins=[p])
+    assert calls["init"] == 1
+    assert type(p.hw).__name__ == "ConstantEffortHW"
+    s.step(5)
+    qf = np.asarray(s.d.qfrc_applied)[0, np.array(p.dof_adr)]
+    np.testing.assert_allclose(qf, 3.0)
+    # read_sim default implementation exposes the joint vectors
+    js = p.hw.read_sim(s.m, jax.tree_util.tree_map(lambda x: x[0], s.d))
+    assert set(js) == {"position", "velocity", "effort"}
+    s.shutdown()
+
+
+def test_unknown_hardware_sim_quarantines():
+    p = RosControlPlugin({"robot_description": ARM_URDF,
+                          "hardware": {"type": "no/SuchHW"}})
+    s = MujocoServer(worlds.ARM7, nenv=1, unpause=False, plugins=[p])
+    assert p.load_error and "no/SuchHW" in p.load_error
+    assert s.step(2).success
+    s.shutdown()
