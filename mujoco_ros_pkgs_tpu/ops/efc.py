@@ -55,6 +55,35 @@ class Efc:
     con_mu: jax.Array = None      # (ncon_slots, 5) friction of each contact
     con_active: jax.Array = None  # (ncon_slots,)
 
+    # ---- UNPERMUTED block view (the large-model solver path) ----
+    # The flat canonical arrays above exist for row-for-row oracle parity,
+    # sensors, and the small-model fused kernel. The Newton/CG solvers for
+    # contact-rich scenes consume ONLY this block view; XLA then dead-code-
+    # eliminates the flat concat+permute (materializing a (nefc, nv)
+    # Jacobian several times per step was a profiled bandwidth sink).
+    # simple_*: diagonal rows (eq, friction, limits, pyramidal facets,
+    # frictionless contacts) stacked in assembly order; cb_*: one entry per
+    # elliptic condim>1 group, arrays shaped (C, dim, ...).
+    simple_J: jax.Array = None          # (n_simple, nv)
+    simple_D: jax.Array = None
+    simple_R: jax.Array = None
+    simple_aref: jax.Array = None
+    simple_floss: jax.Array = None
+    simple_active: jax.Array = None
+    simple_kinds: Tuple[str, ...] = struct.field(pytree_node=False,
+                                                 default=())
+    simple_dest: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                default=())
+    cb_J: Tuple[jax.Array, ...] = ()        # each (C, dim, nv)
+    cb_aref: Tuple[jax.Array, ...] = ()     # each (C, dim)
+    cb_D: Tuple[jax.Array, ...] = ()
+    cb_R: Tuple[jax.Array, ...] = ()
+    cb_sigma: Tuple[jax.Array, ...] = ()    # each (C, dim-1)
+    cb_act: Tuple[jax.Array, ...] = ()      # each (C,)
+    cb_dim: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    cb_dest: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False,
+                                                        default=())
+
 
 # ---------------------------------------------------------------------------
 # impedance / reference acceleration (mj_makeImpedance)
@@ -400,6 +429,8 @@ def make_efc(m: Model, d: Data) -> Efc:
     pyramidal = m.opt.cone == 0
     n_pre = len(rows)
     con_blocks = []      # (dest_rows np, field dict) per condim group
+    simple_extra = []    # diagonal-row contact blocks (pyramidal / dim-1)
+    ell_meta = []        # (dest, dim, J, aref, D, R, sigma, act) per group
     if (m.ncon_max and not (m.opt.disableflags
                             & (DisableBit.CONSTRAINT | DisableBit.CONTACT))):
         c = d.contact
@@ -527,6 +558,7 @@ def make_efc(m: Model, d: Data) -> Efc:
                     active=jnp.repeat(act, nr),
                     kinds=['lim'] * (C * nr))
                 con_blocks.append((dest, blk))
+                simple_extra.append((dest, blk))
                 continue
 
             # elliptic (or frictionless): normal row + cone friction rows
@@ -568,6 +600,18 @@ def make_efc(m: Model, d: Data) -> Efc:
                 active=jnp.repeat(act, dim),
                 kinds=['con'] * (C * dim))
             con_blocks.append((dest, blk))
+            if dim > 1:
+                mu0b = jnp.maximum(fric[:, 0], mmath.MINVAL)
+                sigs_b = [jnp.broadcast_to(mu0b[:, None],
+                                           (C, min(2, dim - 1)))]
+                if dim > 3:
+                    sigs_b.append(jnp.maximum(fric[:, 2:dim - 1],
+                                              mmath.MINVAL))
+                ell_meta.append((dest, dim, Jblk, arefblk,
+                                 1.0 / Rblk, Rblk,
+                                 jnp.concatenate(sigs_b, axis=1), act))
+            else:
+                simple_extra.append((dest, blk))
 
     if not rows and not con_blocks:
         return None
@@ -591,7 +635,42 @@ def make_efc(m: Model, d: Data) -> Efc:
         kinds_all += blk["kinds"]
     kinds_final = tuple(np.array(kinds_all, dtype=object)[perm])
 
+    # ---- unpermuted block view (see Efc docstring) ----
+    def sfield(name, pre_list):
+        parts = []
+        if pre_list:
+            parts.append(jnp.stack(pre_list))
+        parts += [blk[name] for _, blk in simple_extra]
+        if not parts:
+            shp = (0, nv) if name == "J" else (0,)
+            return jnp.zeros(shp, dtype=bool if name == "active" else dtype)
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    simple_kinds = [mt.kind for mt in metas]
+    for _, blk in simple_extra:
+        # dim-1 contacts are one-sided quadratics == limit rows
+        simple_kinds += ["lim" if k == "con" else k for k in blk["kinds"]]
+    simple_dest = (list(range(n_pre))
+                   + [int(r) for dst, _ in simple_extra for r in dst])
+
     efc = Efc(
+        simple_J=sfield("J", [r["J"] for r in rows]),
+        simple_D=sfield("D", [r["D"] for r in rows]),
+        simple_R=sfield("R", [r["R"] for r in rows]),
+        simple_aref=sfield("aref", [r["aref"] for r in rows]),
+        simple_floss=sfield("frictionloss",
+                            [r["frictionloss"] for r in rows]),
+        simple_active=sfield("active", actives),
+        simple_kinds=tuple(simple_kinds),
+        simple_dest=tuple(simple_dest),
+        cb_J=tuple(e[2] for e in ell_meta),
+        cb_aref=tuple(e[3] for e in ell_meta),
+        cb_D=tuple(e[4] for e in ell_meta),
+        cb_R=tuple(e[5] for e in ell_meta),
+        cb_sigma=tuple(e[6] for e in ell_meta),
+        cb_act=tuple(e[7] for e in ell_meta),
+        cb_dim=tuple(int(e[1]) for e in ell_meta),
+        cb_dest=tuple(tuple(int(r) for r in e[0]) for e in ell_meta),
         J=field("J", [r["J"] for r in rows])[perm],
         pos=field("pos", [r["pos"] for r in rows])[perm],
         margin=field("margin", [r["margin"] for r in rows])[perm],

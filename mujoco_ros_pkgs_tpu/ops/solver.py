@@ -102,6 +102,9 @@ class _ConeGroups:
         self.fri_m = jnp.asarray(fri)
         self.lim_m = jnp.asarray(lim | con1)
         self.multi = multi
+        self.D = efc.D
+        self.active = efc.active
+        self.floss = efc.frictionloss
         for dim, items in sorted(by_dim.items()):
             cis = np.array([c for c, _ in items])
             bases = np.array([b for _, b in items])
@@ -123,10 +126,39 @@ class _ConeGroups:
         self.groups = groups
 
 
-def _simple_forces(cg: _ConeGroups, efc: Efc, jar, want_w):
+class _BlockView:
+    """Solver view over the UNPERMUTED efc block fields (simple rows +
+    elliptic cone groups) — the large-model path. Using this instead of the
+    flat canonical arrays lets XLA dead-code-eliminate the (nefc, nv) flat
+    Jacobian assembly entirely (a profiled bandwidth sink on contact-rich
+    scenes; see Efc docstring)."""
+
+    def __init__(self, efc: Efc):
+        import types
+        kinds = np.array(efc.simple_kinds)
+        self.eq_m = jnp.asarray(kinds == 'eq')
+        self.fri_m = jnp.asarray(kinds == 'fri')
+        self.lim_m = jnp.asarray(kinds == 'lim')
+        self.J = efc.simple_J
+        self.aref = efc.simple_aref
+        self.D = efc.simple_D
+        self.active = efc.simple_active
+        self.floss = efc.simple_floss
+        self.dest = np.array(efc.simple_dest, dtype=np.int32)
+        self.nefc = len(efc.kinds)
+        self.groups = [
+            types.SimpleNamespace(J=J, aref=a, D=D, R=R, sigma=sg, act=ac,
+                                  dim=dim, dest=np.array(dst, dtype=np.int32))
+            for J, a, D, R, sg, ac, dim, dst in zip(
+                efc.cb_J, efc.cb_aref, efc.cb_D, efc.cb_R, efc.cb_sigma,
+                efc.cb_act, efc.cb_dim, efc.cb_dest)]
+
+
+def _simple_forces(cg, jar, want_w):
     """Forces/weights/cost of the diagonal rows (eq, friction, limits,
-    frictionless contacts). Cone-block rows stay zero here."""
-    D, act, floss = efc.D, efc.active, efc.frictionloss
+    frictionless contacts). Cone-block rows stay zero here. `cg` is either
+    a _ConeGroups (flat canonical view) or a _BlockView."""
+    D, act, floss = cg.D, cg.active, cg.floss
     eq_gate = cg.eq_m & act
     lim_gate = cg.lim_m & act & (jar < 0)
     quad_gate = eq_gate | lim_gate
@@ -217,7 +249,7 @@ def _forces_and_weights(m: Model, efc: Efc, jar: jax.Array):
     split `_simple_forces`/`_cone_forces` directly to avoid the row
     gather/scatter this flat view needs."""
     cg = _ConeGroups(m, efc)
-    f, w, cost = _simple_forces(cg, efc, jar, True)
+    f, w, cost = _simple_forces(cg, jar, True)
     con_groups = []
     for g in cg.groups:
         u = jar[g.idx]
@@ -274,9 +306,9 @@ def _solve_cg_jnp(m: Model, d: Data, efc: Efc) -> Data:
     dtype = d.qpos.dtype
     a_s = d.qacc_smooth
     M = d.qM
-    J = efc.J
     nv = m.nv
-    cg = _ConeGroups(m, efc)
+    cg = _BlockView(efc)
+    J = cg.J
     groups = cg.groups
     from mujoco_ros_pkgs_tpu.ops import linalg_tpu
 
@@ -285,10 +317,10 @@ def _solve_cg_jnp(m: Model, d: Data, efc: Efc) -> Data:
                 - g.aref for g in groups]
 
     def jar_of(x):
-        return J @ x - efc.aref
+        return J @ x - cg.aref
 
     def cost_at(x):
-        _, _, cost = _simple_forces(cg, efc, jar_of(x), False)
+        _, _, cost = _simple_forces(cg, jar_of(x), False)
         for g, u in zip(groups, u_of(x)):
             cost = cost + _cone_forces(m, g, u, False)[2]
         x_a = x - a_s
@@ -307,7 +339,7 @@ def _solve_cg_jnp(m: Model, d: Data, efc: Efc) -> Data:
     scale = jnp.maximum(jnp.sum(jnp.abs(M @ a_s)), mmath.MINVAL)
 
     def grad_at(x, jar, us):
-        f_s, _, _ = _simple_forces(cg, efc, jar, False)
+        f_s, _, _ = _simple_forces(cg, jar, False)
         grad = M @ (x - a_s) - J.T @ f_s
         for g, u in zip(groups, us):
             f_c, _, _ = _cone_forces(m, g, u, False)
@@ -326,7 +358,7 @@ def _solve_cg_jnp(m: Model, d: Data, efc: Efc) -> Data:
         dMd = jnp.dot(Mp, p)
 
         def dphi(alpha, want_d2=True):
-            fa, wa, _ = _simple_forces(cg, efc, jar + alpha * v, want_d2)
+            fa, wa, _ = _simple_forces(cg, jar + alpha * v, want_d2)
             d1 = gMd + alpha * dMd - jnp.dot(fa, v)
             cres = [_cone_forces(m, g, u + alpha * vc, want_d2)
                     for g, u, vc in zip(groups, us, vs)]
@@ -404,13 +436,14 @@ def _solve_cg_jnp(m: Model, d: Data, efc: Efc) -> Data:
     (x, _, _, _, _, _) = jax.lax.while_loop(cg_cond, cg_step, c0)
 
     jar = jar_of(x)
-    f_all, _, _ = _simple_forces(cg, efc, jar, False)
-    qfrc = J.T @ f_all
+    f_s, _, _ = _simple_forces(cg, jar, False)
+    qfrc = J.T @ f_s
+    f_flat = jnp.zeros(cg.nefc, dtype=dtype).at[cg.dest].set(f_s)
     for g, u in zip(groups, u_of(x)):
         f_c, _, _ = _cone_forces(m, g, u, False)
         qfrc = qfrc + g.J.reshape(-1, nv).T @ f_c.reshape(-1)
-        f_all = f_all.at[g.idx].set(f_c)
-    return d.replace(qacc=x, qfrc_constraint=qfrc, efc_force_contact=f_all,
+        f_flat = f_flat.at[g.dest].set(f_c.reshape(-1))
+    return d.replace(qacc=x, qfrc_constraint=qfrc, efc_force_contact=f_flat,
                      qacc_warmstart=x)
 
 
@@ -484,24 +517,25 @@ def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
     dtype = d.qpos.dtype
     a_s = d.qacc_smooth
     M = d.qM
-    J = efc.J
     nv = m.nv
-    cg = _ConeGroups(m, efc)
+    cg = _BlockView(efc)
+    J = cg.J
     groups = cg.groups
 
-    # gather-free evaluation: cone rows live in dense (C, dim, nv) blocks
-    # (one static gather per solve in _ConeGroups), simple rows in the flat
-    # arrays under static masks. Every force / line-search evaluation below
-    # is elementwise + dense matmuls only.
+    # gather-free evaluation: cone rows come as dense (C, dim, nv) blocks
+    # straight from the efc assembly (no flat-Jacobian materialization at
+    # all — XLA DCEs the canonical concat+permute), simple rows in a small
+    # flat array under static masks. Every force / line-search evaluation
+    # below is elementwise + dense matmuls only.
     def u_of(x):
         return [jnp.matmul(g.J.reshape(-1, nv), x).reshape(g.aref.shape)
                 - g.aref for g in groups]
 
     def jar_of(x):
-        return J @ x - efc.aref
+        return J @ x - cg.aref
 
     def cost_at(x):
-        _, _, cost = _simple_forces(cg, efc, jar_of(x), False)
+        _, _, cost = _simple_forces(cg, jar_of(x), False)
         for g, u in zip(groups, u_of(x)):
             cost = cost + _cone_forces(m, g, u, False)[2]
         x_a = x - a_s
@@ -537,7 +571,7 @@ def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
         x, done, it = carry
         jar = jar_of(x)
         us = u_of(x)
-        f_s, w_s, _ = _simple_forces(cg, efc, jar, True)
+        f_s, w_s, _ = _simple_forces(cg, jar, True)
         cones = [_cone_forces(m, g, u, True) for g, u in zip(groups, us)]
         grad = M @ (x - a_s) - J.T @ f_s
         H = M + (J.T * w_s) @ J
@@ -562,7 +596,7 @@ def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
         dMd = jnp.dot(Mdx, dx)
 
         def dphi(alpha, want_d2=True):
-            fa, wa, _ = _simple_forces(cg, efc, jar + alpha * v, want_d2)
+            fa, wa, _ = _simple_forces(cg, jar + alpha * v, want_d2)
             d1 = gMd + alpha * dMd - jnp.dot(fa, v)
             cres = [_cone_forces(m, g, u + alpha * vc, want_d2)
                     for g, u, vc in zip(groups, us, vs)]
@@ -651,18 +685,21 @@ def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
         (x, _, it_final) = jax.lax.while_loop(newton_cond, newton_step, n0)
 
     jar = jar_of(x)
-    f_all, _, _ = _simple_forces(cg, efc, jar, False)
-    qfrc = J.T @ f_all
+    f_s, _, _ = _simple_forces(cg, jar, False)
+    qfrc = J.T @ f_s
+    grad = M @ (x - a_s) - qfrc
+    f_flat = jnp.zeros(cg.nefc, dtype=dtype).at[cg.dest].set(f_s)
     for g, u in zip(groups, u_of(x)):
         f_c, _, _ = _cone_forces(m, g, u, False)
-        qfrc = qfrc + g.J.reshape(-1, nv).T @ f_c.reshape(-1)
-        f_all = f_all.at[g.idx].set(f_c)     # once per step: flat row output
+        qfc = g.J.reshape(-1, nv).T @ f_c.reshape(-1)
+        qfrc = qfrc + qfc
+        grad = grad - qfc
+        f_flat = f_flat.at[g.dest].set(f_c.reshape(-1))  # canonical rows out
     if _stats_sink is not None:
         _stats_sink["iterations"] = it_final
-        grad = M @ (x - a_s) - J.T @ f_all
         _stats_sink["grad_norm"] = jnp.linalg.norm(grad)
         _stats_sink["cost"] = cost_at(x)
-    return d.replace(qacc=x, qfrc_constraint=qfrc, efc_force_contact=f_all,
+    return d.replace(qacc=x, qfrc_constraint=qfrc, efc_force_contact=f_flat,
                      qacc_warmstart=x)
 
 
