@@ -45,27 +45,6 @@ def _unroll_mode() -> str:
     return "none"
 
 
-def _cone_project(w_n, w_t, alpha):
-    """Project (w_n, w_t) onto the circular cone ||w_t|| <= alpha * w_n.
-
-    Returns (g_n, g_t, zone) with zone 0=inside, 1=middle, 2=polar."""
-    s = mmath.norm_safe(w_t)
-    inside = s <= alpha * w_n
-    polar = alpha * s <= -w_n
-    beta = (w_n + alpha * s) / (1.0 + alpha * alpha)
-    scale = jnp.where(s > mmath.MINVAL, alpha * beta / jnp.maximum(s, mmath.MINVAL), 0.0)
-    g_n = jnp.where(inside, w_n, jnp.where(polar, 0.0, beta))
-    g_t = jnp.where(inside, w_t, jnp.where(polar, jnp.zeros_like(w_t),
-                                           scale * w_t))
-    return g_n, g_t, inside, polar
-
-
-def _row_masks(efc: Efc):
-    kinds = np.array(efc.kinds)
-    return (jnp.asarray(kinds == 'eq'), jnp.asarray(kinds == 'fri'),
-            jnp.asarray(kinds == 'lim'))
-
-
 # ---------------------------------------------------------------------------
 # pre-split constraint structure: the Newton loop must not gather/scatter
 # ---------------------------------------------------------------------------
