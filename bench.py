@@ -118,10 +118,17 @@ def _throughput(m, d, accel, nenv, control_hook=None, last_hook=None,
     # converged 1.2M"). realized < budget => tolerance exit, not cap exit.
     realized = -1
     try:
+        import numpy as _np
+        if not _np.isfinite(_np.asarray(d.qpos)).all():
+            # a NaN'd sim can still post big env-steps/s; never report one
+            # (caught a real TPU-only Hessian-precision NaN in round 4)
+            raise RuntimeError("final state is not finite")
         from mujoco_ros_pkgs_tpu.ops import solver as solver_mod
         d1 = jax.tree_util.tree_map(lambda x: x[0], d)
         st = solver_mod.solve_stats(m, d1)
         realized = int(st["iterations"])
+    except RuntimeError:
+        return float("nan"), compile_s, -2
     except Exception:
         pass
     return max(rates), compile_s, realized
@@ -300,11 +307,13 @@ def bench_scaling_cpu():
         return None
     if len(cpus) < 2:
         return None
-    # the fused TPU kernel must not trace into a CPU-mesh shard_map (Mosaic
-    # has no CPU lowering outside interpret mode); gate it off for this probe
-    # (restoring whatever the user had set, including unset)
+    # the fused TPU kernels must not trace into a CPU-mesh shard_map (Mosaic
+    # has no CPU lowering outside interpret mode); gate both off for this
+    # probe (restoring whatever the user had set, including unset)
     prev_pallas = os.environ.get("MRP_PALLAS_SOLVER")
+    prev_linalg = os.environ.get("MRP_PALLAS_LINALG")
     os.environ["MRP_PALLAS_SOLVER"] = "0"
+    os.environ["MRP_PALLAS_LINALG"] = "0"
     nenv, nsub, rounds = 4096, 20, 3
 
     with jax.default_device(cpus[0]):
@@ -359,6 +368,10 @@ def bench_scaling_cpu():
             os.environ.pop("MRP_PALLAS_SOLVER", None)
         else:
             os.environ["MRP_PALLAS_SOLVER"] = prev_pallas
+        if prev_linalg is None:
+            os.environ.pop("MRP_PALLAS_LINALG", None)
+        else:
+            os.environ["MRP_PALLAS_LINALG"] = prev_linalg
     return dict(cpu_1dev=round(r1, 1), cpu_2dev_shardmap=round(r2, 1),
                 cpu_2dev_independent=round(rind, 1),
                 shardmap_overhead_ratio=round(r2 / r1, 3),

@@ -181,4 +181,8 @@ def psd_solve(H: jax.Array, g: jax.Array) -> jax.Array:
             g = jnp.broadcast_to(g, (axis_size,) + g.shape)
         return _solve_batched(H, g, n), True
 
-    return _f(H, g)
+    # per-lowering-platform dispatch: a TPU backend being REGISTERED does not
+    # mean this computation lowers for TPU (CPU meshes / jax.default_device
+    # under a TPU-capable process); Mosaic cannot lower for CPU outside
+    # interpret mode, so route the CPU lowering to the XLA solve
+    return jax.lax.platform_dependent(H, g, cpu=_xla_solve, default=_f)

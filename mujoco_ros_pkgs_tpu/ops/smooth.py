@@ -400,8 +400,12 @@ def crb(m: Model, d: Data) -> Data:
     dof_bodyid = np.array(m.dof_bodyid, dtype=np.int32)
     # F[i] = crb[body(i)] * cdof[i]
     F = jax.vmap(mmath.inert_vec_mul)(crb_inert[dof_bodyid], d.cdof)
-    # G[i, j] = F[i] . cdof[j]  — one dense (nv,6)@(6,nv) matmul
-    G = F @ d.cdof.T
+    # G[i, j] = F[i] . cdof[j]  — one dense (nv,6)@(6,nv) matmul.
+    # HIGHEST precision: XLA-TPU's default lowers f32 matmuls to single-pass
+    # bf16; the mass matrix must stay accurately positive definite (its
+    # smallest eigenvalues bound the Newton Hessian's) — measured: bf16
+    # assembly made the humanoid impact Hessian indefinite -> Cholesky NaN
+    G = jnp.matmul(F, d.cdof.T, precision=jax.lax.Precision.HIGHEST)
     amask = dof_ancestor_mask(m)             # j ancestor-or-equal of i
     lower = jnp.asarray(amask)               # includes diagonal
     strict = jnp.asarray(amask & ~np.eye(m.nv, dtype=bool))

@@ -553,16 +553,24 @@ def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
         f_s, w_s, _ = _simple_forces(cg, jar, True)
         cones = [_cone_forces(m, g, u, True) for g, u in zip(groups, us)]
         grad = M @ (x - a_s) - J.T @ f_s
-        H = M + (J.T * w_s) @ J
+        # H formation runs at HIGHEST matmul precision: XLA-TPU lowers f32
+        # matmuls to single-pass bf16 by default, and the resulting ~0.3%
+        # entry noise exceeded the Hessian's smallest eigenvalues on the
+        # humanoid impact scene (measured eigmin -0.57 vs +0.03 exact) ->
+        # indefinite H -> Cholesky NaN. Gradients/line-search keep default
+        # precision (they perturb convergence, not positive-definiteness).
+        PH = jax.lax.Precision.HIGHEST
+        H = M + jnp.matmul(J.T * w_s, J, precision=PH)
         for g, (f_c, cw, _) in zip(groups, cones):
             Jf = g.J.reshape(-1, nv)
             grad = grad - Jf.T @ f_c.reshape(-1)
             # J^T W J via the rank-1 form: one row-weighted matmul plus
             # two (nv, C) rank-1 stacks — all MXU-shaped
-            H = H + (Jf.T * cw.wrow.reshape(-1)) @ Jf
-            Au = jnp.einsum('cdv,cd->cv', g.J, cw.ru)
-            Bw = jnp.einsum('cdv,cd->cv', g.J, cw.rw)
-            H = H + Au.T @ Au - Bw.T @ Bw
+            H = H + jnp.matmul(Jf.T * cw.wrow.reshape(-1), Jf, precision=PH)
+            Au = jnp.einsum('cdv,cd->cv', g.J, cw.ru, precision=PH)
+            Bw = jnp.einsum('cdv,cd->cv', g.J, cw.rw, precision=PH)
+            H = (H + jnp.matmul(Au.T, Au, precision=PH)
+                 - jnp.matmul(Bw.T, Bw, precision=PH))
         H = H + 1e-12 * jnp.eye(nv, dtype=dtype)
         from mujoco_ros_pkgs_tpu.ops import linalg_tpu
         dx = -linalg_tpu.psd_solve(H, grad)

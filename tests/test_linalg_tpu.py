@@ -28,9 +28,24 @@ def _spd(rng, B, n, scale=1.0):
 
 
 @pytest.mark.parametrize("n", [1, 7, 8, 27, 72, 96])
-def test_solve_matches_numpy(n):
+def test_kernel_matches_numpy(n):
+    """Direct interpret-mode run of the Pallas kernel (psd_solve routes CPU
+    lowerings to the XLA path via lax.platform_dependent, so the kernel body
+    itself is exercised through _solve_batched here)."""
     rng = np.random.default_rng(n)
     B = 5
+    H = _spd(rng, B, n)
+    g = rng.normal(size=(B, n)).astype(np.float32)
+    x = linalg_tpu._solve_batched(jnp.asarray(H), jnp.asarray(g), n)
+    ref = np.stack([np.linalg.solve(H[i], g[i]) for i in range(B)])
+    np.testing.assert_allclose(np.asarray(x), ref,
+                               atol=2e-5 * max(1.0, np.abs(ref).max()))
+
+
+@pytest.mark.parametrize("n", [7, 27])
+def test_psd_solve_api(n):
+    rng = np.random.default_rng(n)
+    B = 4
     H = _spd(rng, B, n)
     g = rng.normal(size=(B, n)).astype(np.float32)
     x = jax.vmap(linalg_tpu.psd_solve)(jnp.asarray(H), jnp.asarray(g))
@@ -53,7 +68,7 @@ def test_large_batch_padding():
     B, n = 200, 12   # non-multiple of the 128-lane block
     H = _spd(rng, B, n)
     g = rng.normal(size=(B, n)).astype(np.float32)
-    x = jax.vmap(linalg_tpu.psd_solve)(jnp.asarray(H), jnp.asarray(g))
+    x = linalg_tpu._solve_batched(jnp.asarray(H), jnp.asarray(g), n)
     ref = np.stack([np.linalg.solve(H[i], g[i]) for i in range(B)])
     np.testing.assert_allclose(np.asarray(x), ref, atol=2e-5)
 
@@ -73,7 +88,7 @@ def test_ill_scaled_systems():
     rng = np.random.default_rng(3)
     H = _spd(rng, 3, 24, scale=30.0)    # condition-stress the f32 factor
     g = rng.normal(size=(3, 24)).astype(np.float32)
-    x = jax.vmap(linalg_tpu.psd_solve)(jnp.asarray(H), jnp.asarray(g))
+    x = linalg_tpu._solve_batched(jnp.asarray(H), jnp.asarray(g), 24)
     ref = np.stack([np.linalg.solve(H[i], g[i]) for i in range(3)])
     np.testing.assert_allclose(np.asarray(x), ref,
                                atol=1e-4 * max(1.0, np.abs(ref).max()))
