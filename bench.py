@@ -259,11 +259,12 @@ def bench_scaling_tpu(cpu, accel):
         jax.block_until_ready(d.qpos)
         return nenv * nsub * rounds / (time.perf_counter() - t0)
 
-    def rate_shardmap():
+    def rate_shardmap(with_consumer):
         mesh = mh.make_host_env_mesh(n_hosts=1, devices=[accel])
         m = mh.replicate_model(m0, mesh)
         d = mh.make_global_batch(m, nenv, mesh, seed=0, dtype=jnp.float32)
-        step = mh.shardmap_step_fn(m, mesh, nsub=nsub, with_consumer=True)
+        step = mh.shardmap_step_fn(m, mesh, nsub=nsub,
+                                   with_consumer=with_consumer)
         d, c = step(d)
         jax.block_until_ready(c)
         t0 = time.perf_counter()
@@ -273,8 +274,11 @@ def bench_scaling_tpu(cpu, accel):
         return nenv * nsub * rounds / (time.perf_counter() - t0)
 
     rv = rate_vmap()
-    rs = rate_shardmap()
+    rs = rate_shardmap(True)
+    rs_nc = rate_shardmap(False)
     return dict(tpu_vmap=round(rv, 1), tpu_shardmap_1dev=round(rs, 1),
+                tpu_shardmap_1dev_no_consumer=round(rs_nc, 1),
+                shardmap_vmap_ratio_no_consumer=round(rs_nc / rv, 3),
                 shardmap_vmap_ratio=round(rs / rv, 3),
                 note="1-dev shard_map incl. the psum consumer vs plain vmap "
                      "on the same chip/batch; >=0.8 = sharding machinery "

@@ -701,7 +701,8 @@ def solve_stats(m: Model, d: Data) -> dict:
     if not cmod._has_constraints(m):
         return {"iterations": 0, "grad_norm": 0.0, "cost": 0.0}
 
-    fn = _stats_cache.get(id(m))
+    entry = _stats_cache.get("m")
+    fn = entry[1] if entry is not None and entry[0] is m else None
     if fn is None:
         _stats_cache.clear()   # one live model per server; avoid leaks
 
@@ -710,7 +711,9 @@ def solve_stats(m: Model, d: Data) -> dict:
             _solve_jnp(m, dd, efcmod.make_efc(m, dd), _stats_sink=sink)
             return sink["iterations"], sink["grad_norm"], sink["cost"]
         fn = jax.jit(run)
-        _stats_cache[id(m)] = fn
+        # key on the model OBJECT (kept alive by the cache): a bare id(m)
+        # can collide after the previous model is garbage-collected
+        _stats_cache["m"] = (m, fn)
     it, gn, c = fn(d)
     return {"iterations": int(np.asarray(it)),
             "grad_norm": float(np.asarray(gn)),
