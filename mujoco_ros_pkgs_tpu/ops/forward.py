@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -114,31 +116,49 @@ def forward(m: Model, d: Data, control_hook: Hook = None,
 # position integration (mj_integratePos)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=128)
+def _intpos_meta(jnt_type, jnt_qposadr, jnt_dofadr):
+    """Static joint groups for vectorized position integration: 1-dof
+    (hinge/slide) scatters collapse into ONE batched update; quaternion
+    joints (ball + free-rot) into one vmapped quat_integrate; free-joint
+    translations into one more (mj_integratePos semantics)."""
+    lin_q, lin_v = [], []     # 1-dof joints + free translations (3 each)
+    quat_q, quat_v = [], []   # quaternion blocks (qadr of 4, vadr of 3)
+    for jt, qadr, vadr in zip(jnt_type, jnt_qposadr, jnt_dofadr):
+        if jt == int(JointType.FREE):
+            lin_q += [qadr, qadr + 1, qadr + 2]
+            lin_v += [vadr, vadr + 1, vadr + 2]
+            quat_q.append(qadr + 3)
+            quat_v.append(vadr + 3)
+        elif jt == int(JointType.BALL):
+            quat_q.append(qadr)
+            quat_v.append(vadr)
+        else:
+            lin_q.append(qadr)
+            lin_v.append(vadr)
+    qq = np.array(quat_q, dtype=np.int32)
+    return (np.array(lin_q, dtype=np.int32), np.array(lin_v, dtype=np.int32),
+            qq[:, None] + np.arange(4)[None, :],
+            np.array(quat_v, dtype=np.int32)[:, None] + np.arange(3)[None, :])
+
+
 def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
                   dt) -> jax.Array:
+    lin_q, lin_v, quat_q, quat_v = _intpos_meta(
+        m.jnt_type, m.jnt_qposadr, m.jnt_dofadr)
     out = qpos
-    for j in range(m.njnt):
-        jt = m.jnt_type[j]
-        qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-        if jt == int(JointType.FREE):
-            out = out.at[qadr:qadr + 3].set(
-                qpos[qadr:qadr + 3] + dt * qvel[vadr:vadr + 3])
-            q = mmath.quat_integrate(qpos[qadr + 3:qadr + 7],
-                                     qvel[vadr + 3:vadr + 6], dt)
-            out = out.at[qadr + 3:qadr + 7].set(q)
-        elif jt == int(JointType.BALL):
-            q = mmath.quat_integrate(qpos[qadr:qadr + 4], qvel[vadr:vadr + 3], dt)
-            out = out.at[qadr:qadr + 4].set(q)
-        else:
-            out = out.at[qadr].set(qpos[qadr] + dt * qvel[vadr])
+    if lin_q.size:
+        out = out.at[lin_q].set(qpos[lin_q] + dt * qvel[lin_v])
+    if quat_q.size:
+        q = jax.vmap(lambda a, b: mmath.quat_integrate(a, b, dt))(
+            qpos[quat_q], qvel[quat_v])
+        out = out.at[quat_q].set(q)
     return out
 
 
 # ---------------------------------------------------------------------------
 # integrators
 # ---------------------------------------------------------------------------
-
-import functools
 
 
 @functools.lru_cache(maxsize=128)
