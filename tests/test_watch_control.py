@@ -158,3 +158,21 @@ def test_admin_hash_rejection():
     finally:
         s.stop_watch()
         s.shutdown()
+
+
+def test_step_rejected_while_running():
+    """The step endpoint mirrors the Step action's semantics: rejected while
+    the physics loop runs unpaused (callbacks.cpp:94-129)."""
+    s = MujocoServer(WORLD, nenv=1, unpause=True)
+    s.start_physics_loop()
+    res = s.start_watch(port=0, fps=5.0, width=48, height=32)
+    assert res.success, res.status_message
+    port = int(res.status_message)
+    try:
+        r = _post(port, "step", {"n": 10})
+        assert not r["success"]
+        assert _post(port, "pause", {"paused": True})["success"]
+        assert _post(port, "step", {"n": 10})["success"]
+    finally:
+        s.stop_watch()
+        s.shutdown()
