@@ -1,5 +1,8 @@
 """Batched dense SPD solve (Cholesky factor + triangular solves) as a Pallas
-TPU kernel.
+TPU kernel — the engine-side replacement for libmujoco's mj_factorM /
+mj_solveM and the per-iteration Newton Hessian factorization the reference
+reaches through mj_step's constraint solver (stepped by the server at
+mujoco_ros/src/mujoco_env.cpp:498).
 
 Why: XLA-TPU lowers `cholesky` of a batched small matrix to the generic
 "Cholesky" custom-call, which expands to a serialized per-batch loop.
