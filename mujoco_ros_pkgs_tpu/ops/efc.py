@@ -490,45 +490,48 @@ def make_efc(m: Model, d: Data) -> Efc:
             invw = (m.body_invweight0[b1, 0]
                     + m.body_invweight0[b2, 0]).astype(dtype)
 
-            # batched point-jacobian differences (one einsum program per dim);
-            # static body ids constant-fold the mask/root gathers, traced
-            # (broadphase-compacted) ids turn them into runtime gathers
-            def _jacs(bs):
+            # contact Jacobian rows WITHOUT the (C, nv, 3) point-jacobian
+            # intermediates: a translational row along axis `a` at point p is
+            #   a . jacp_i = a . cdof_lin + cdof_ang . (off_i x a)
+            # i.e. a dot of the (nv, 6) cdof table with a per-contact spatial
+            # 6-vector [off x a, a] — one (C*T, 6)@(6, nv) matmul per side +
+            # a body-chain mask, instead of building/masking/differencing two
+            # (C, nv, 3) jacobians (profiled ~1.5 ms of HBM traffic per pile
+            # substep). Static body ids constant-fold the mask/root gathers,
+            # traced (broadphase-compacted) ids turn them into runtime gathers.
+            def _side_meta(bs):
                 if isinstance(bs, np.ndarray):
-                    mask = jnp.asarray(bdmask[:, bs].T[:, :, None],
-                                       dtype=dtype)
-                    ref = d.subtree_com[rootid[bs]]    # (C,3)
+                    mask = jnp.asarray(bdmask[:, bs].T, dtype=dtype)  # (C,nv)
+                    ref = d.subtree_com[rootid[bs]]                   # (C,3)
                 else:
-                    mask = jnp.asarray(bdmask.T, dtype=dtype)[bs][:, :, None]
+                    mask = jnp.asarray(bdmask.T, dtype=dtype)[bs]
                     ref = d.subtree_com[jnp.asarray(rootid)[bs]]
-                off = pos - ref                        # (C,3)
-                jacp = (d.cdof[None, :, 3:]
-                        + jnp.cross(d.cdof[None, :, :3],
-                                    off[:, None, :])) * mask   # (C,nv,3)
-                jacr = d.cdof[None, :, :3] * mask
-                return jacp, jacr
+                return mask, pos - ref
 
-            jacp1, jacr1 = _jacs(b1)
-            jacp2, jacr2 = _jacs(b2)
-            djp = jacp2 - jacp1                        # (C, nv, 3)
-            djr = jacr2 - jacr1
-            # contractions over the length-3 axis as broadcast-multiply-sums:
-            # XLA fuses these into the VPU reduce; the einsum/dot_general form
-            # staged bf16 layout copies for a 3-wide "matmul" (profiled ~1 ms
-            # per step on the pile scene)
-            Jn = jnp.sum(frame[:, 0][:, None, :] * djp, axis=-1)   # (C, nv)
+            mask1, off1 = _side_meta(b1)
+            mask2, off2 = _side_meta(b2)
+            axes_t = frame[:, :1] if dim == 1 else frame[:, :3]  # (C,T,3)
+
+            def _trans_rows(off, mask):
+                A = jnp.concatenate(
+                    [jnp.cross(off[:, None, :], axes_t), axes_t], axis=-1)
+                P = jnp.einsum('ctk,vk->ctv', A, d.cdof)         # (C,T,nv)
+                return P * mask[:, None, :]
+
+            Jt_all = _trans_rows(off2, mask2) - _trans_rows(off1, mask1)
+            Jn = Jt_all[:, 0]                                    # (C, nv)
 
             # friction jacobians in row order k=1..dim-1
             Jf_list = []
             if dim > 1:
-                Jf_list.append(jnp.sum(
-                    frame[:, 1:3][:, :, None, :] * djp[:, None], axis=-1))
+                Jf_list.append(Jt_all[:, 1:3])
             if dim > 3:
                 nrot = dim - 3
-                Jf_list.append(jnp.sum(
-                    frame[:, :nrot][:, :, None, :] * djr[:, None], axis=-1))
+                Pr = jnp.einsum('crk,vk->crv', frame[:, :nrot],
+                                d.cdof[:, :3])
+                Jf_list.append(Pr * (mask2 - mask1)[:, None, :])
             Jf = (jnp.concatenate(Jf_list, axis=1) if Jf_list
-                  else jnp.zeros((C, 0, nv), dtype=dtype))     # (C,dim-1,nv)
+                  else jnp.zeros((C, 0, nv), dtype=dtype))       # (C,dim-1,nv)
 
             dest = np.concatenate([
                 np.arange(bases[k], bases[k]
