@@ -595,7 +595,10 @@ class MujocoServer:
         return ServiceResult(True, "")
 
     def _publish_clock(self):
-        t = float(self._local0(self.d.time))
+        # read under the lock: the step fn donates d's buffers, so a
+        # concurrent _run_chunk from another thread (watch control, step
+        # action) deletes any array grabbed outside the lock mid-read
+        t = self.sim_time
         for cb in self._clock_subs:
             cb(t)
 
@@ -605,10 +608,12 @@ class MujocoServer:
         running plugin render callbacks (runRenderCbs, callbacks.cpp:145-150)."""
         if self.render_manager is None:
             return
-        markers = self.registry.run_render_callbacks(self.m, self.d,
-                                                     self.sim_time)
-        self.render_manager.render_all(self.m, self.d, self.sim_time,
-                                       markers=markers)
+        # hold the lock across the render read: d's buffers are donated by
+        # the next step, so a concurrent chunk would delete them mid-render
+        with self._lock:
+            m, d, t = self.m, self.d, self.sim_time
+            markers = self.registry.run_render_callbacks(m, d, t)
+            self.render_manager.render_all(m, d, t, markers=markers)
 
     def subscribe_clock(self, cb: Callable[[float], None]):
         """In-process /clock topic (publishSimTime, mujoco_env.cpp:699-714)."""
@@ -616,7 +621,12 @@ class MujocoServer:
 
     @property
     def sim_time(self) -> float:
-        return float(self._local0(self.d.time))
+        # lock: self.d's buffers are DONATED by the step fn — grabbing the
+        # array without the lock races a concurrent _run_chunk that deletes
+        # it before _local0 materializes (the round-4 physics-thread
+        # "Array has been deleted" failure)
+        with self._lock:
+            return float(self._local0(self.d.time))
 
     # ------------------------------------------------------------------
     # physics loop (real-time paced background stepping)

@@ -69,3 +69,57 @@ def test_concurrent_service_stress():
     assert not errors, errors
     assert np.all(np.isfinite(np.asarray(s.d.qpos)))
     assert s.sim_time > 0.0
+
+
+def test_reload_and_clock_under_stepping(recwarn):
+    """Regression for the round-4 deleted-array race: the step fn DONATES
+    d's buffers, so sim_time/_publish_clock/_render_offscreen reads racing a
+    reload/reset/step from another thread hit `Array has been deleted`
+    unless they materialize under the lock. Spin the physics loop (which
+    publishes the clock every chunk) while other threads reload, reset and
+    read sim_time; no thread may raise."""
+    s = MujocoServer(worlds.BOXES, nenv=2, unpause=True)
+    ticks = []
+    s.subscribe_clock(ticks.append)
+    s.start_physics_loop()
+    errors = []
+    thread_errs = []
+
+    # capture exceptions escaping ANY thread (the r4 failure surfaced only
+    # as a PytestUnhandledThreadExceptionWarning, not a test failure)
+    orig_hook = threading.excepthook
+    threading.excepthook = lambda a: thread_errs.append(a.exc_value)
+
+    def reader():
+        try:
+            for _ in range(200):
+                _ = s.sim_time
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def mutator(seed):
+        rng = random.Random(seed)
+        try:
+            for _ in range(10):
+                if rng.random() < 0.5:
+                    s.reset()
+                else:
+                    s.reload()
+                time.sleep(0.002)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    try:
+        threads = ([threading.Thread(target=reader) for _ in range(2)]
+                   + [threading.Thread(target=mutator, args=(i,))
+                      for i in range(2)])
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+    finally:
+        s.stop_physics_loop()
+        threading.excepthook = orig_hook
+    assert not errors, errors
+    assert not thread_errs, thread_errs
+    assert ticks  # the loop published while being hammered
