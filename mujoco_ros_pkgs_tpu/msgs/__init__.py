@@ -18,6 +18,10 @@ class Pose:
     position: np.ndarray = field(default_factory=lambda: np.zeros(3))
     orientation: np.ndarray = field(
         default_factory=lambda: np.array([1.0, 0, 0, 0]))  # (w,x,y,z)
+    # geometry_msgs/PoseStamped header.frame_id analog: the TF frame this
+    # pose is expressed in ("" / "world" = world frame). Consumers resolve
+    # it through the server's static-TF registry (callbacks.cpp:298-302).
+    frame_id: str = ""
 
 
 @dataclass

@@ -896,7 +896,25 @@ class MujocoServer:
                 if set_pose:
                     quat = np.asarray(state.pose.orientation, dtype=np.float64)
                     quat = quat / max(np.linalg.norm(quat), 1e-15)
-                    qpos[envs, qadr:qadr + 3] = state.pose.position
+                    pos = np.asarray(state.pose.position, dtype=np.float64)
+                    # resolve a non-world frame_id to world through the
+                    # static-TF registry / camera frames — the reference
+                    # transforms the incoming PoseStamped with tf2
+                    # (callbacks.cpp:298-302)
+                    fid = getattr(state.pose, "frame_id", "") or ""
+                    if fid not in ("", "world"):
+                        fr = self._resolve_frame(
+                            fid, 0 if state.env_id is None else state.env_id)
+                        if fr is None:
+                            return ServiceResult(
+                                False, f"unknown TF frame '{fid}'")
+                        fpos, fquat = fr
+                        from mujoco_ros_pkgs_tpu.ops import math as mmath
+                        pos = fpos + np.asarray(mmath.rot_vec_quat(
+                            jnp.asarray(pos), jnp.asarray(fquat)))
+                        quat = np.asarray(mmath.quat_mul(
+                            jnp.asarray(fquat), jnp.asarray(quat)))
+                    qpos[envs, qadr:qadr + 3] = pos
                     qpos[envs, qadr + 3:qadr + 7] = quat
                 if set_twist:
                     # world angular velocity → body-local free-joint dofs
@@ -1264,6 +1282,31 @@ class MujocoServer:
     def lookup_transform(self, child: str):
         """(parent, pos, quat) of a registered static frame, or None."""
         return self._static_tf.get(child)
+
+    def _resolve_frame(self, frame_id: str, env_id: int = 0):
+        """World pose (pos, wxyz quat) of a named TF frame, chaining static
+        transforms parent-ward until 'world' and falling back to live
+        camera frames — the tf2 lookup the reference performs before
+        applying a PoseStamped (callbacks.cpp:298-302). None if unknown."""
+        from mujoco_ros_pkgs_tpu.ops import math as mmath
+        if frame_id in ("", "world"):
+            return (np.zeros(3), np.array([1.0, 0.0, 0.0, 0.0]))
+        if frame_id in self._static_tf:
+            parent, pos, quat = self._static_tf[frame_id]
+            base = self._resolve_frame(parent, env_id)
+            if base is None:
+                return None
+            bpos, bquat = base
+            wpos = bpos + np.asarray(mmath.rot_vec_quat(
+                jnp.asarray(pos), jnp.asarray(bquat)))
+            wquat = np.asarray(mmath.quat_mul(jnp.asarray(bquat),
+                                              jnp.asarray(quat)))
+            return (wpos, wquat)
+        if frame_id.endswith("_link") and frame_id[:-5] in self.m.cam_names:
+            frames = self.camera_frames(env_id)
+            if frame_id in frames:
+                return frames[frame_id]
+        return None
 
     def camera_frames(self, env_id: int = 0) -> dict:
         """World pose of every camera's <cam>_link frame for one env (the

@@ -133,26 +133,74 @@ def test_cg_solver_parity():
     np.testing.assert_allclose(np.asarray(d.qvel), qvel_o[-1], atol=5e-3)
 
 
-def test_pgs_warns_and_runs_newton():
-    import warnings
+_PGS_SPHERE = """
+<mujoco>
+  <option solver="PGS" iterations="%d" tolerance="0" cone="%s">
+    <flag warmstart="disable"/>
+  </option>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 .1"/>
+    <body pos="0 0 0.0999">
+      <freejoint/>
+      <geom type="sphere" size=".1" friction="0.5"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_pgs_underconverged_elliptic_iterates():
+    """The dual-PGS per-contact elliptic update matches libmujoco's PGS
+    ITERATION BY ITERATION on a sliding-sphere scene (single contact, so
+    the sweep-order caveat documented in _solve_pgs_jnp does not bite):
+    fixed iteration counts 1/2/4 with warmstart disabled must reproduce the
+    oracle's under-converged constraint force and qacc exactly."""
+    import jax
+    import mujoco
+    from mujoco_ros_pkgs_tpu.core import mjcf as mjcf_mod
+    from mujoco_ros_pkgs_tpu.ops import forward as fwd_mod
+    for k in (1, 2, 4):
+        xml = _PGS_SPHERE % (k, "elliptic")
+        mm = oracle.load_oracle_string(xml)
+        dd = mujoco.MjData(mm)
+        dd.qvel[0] = 1.0
+        mujoco.mj_forward(mm, dd)
+        m = mjcf_mod.load_model_from_string(xml)
+        d = fwd_mod.make_data(m)
+        d = d.replace(qvel=d.qvel.at[0].set(1.0))
+        d = jax.jit(lambda dd_: fwd_mod.forward(m, dd_))(d)
+        np.testing.assert_allclose(np.asarray(d.qacc), dd.qacc,
+                                   rtol=1e-6, atol=1e-8,
+                                   err_msg=f"PGS iterates diverge at k={k}")
+
+
+@pytest.mark.parametrize("cone", ["elliptic", "pyramidal"])
+def test_pgs_converged_trajectory_parity(cone):
+    """opt.solver=PGS rollout parity vs the oracle at convergence-grade
+    iteration counts (the strictly convex dual has a unique optimum, so
+    order-of-sweep differences vanish at convergence)."""
     import jax
     from mujoco_ros_pkgs_tpu.core import mjcf as mjcf_mod
     from mujoco_ros_pkgs_tpu.ops import forward as fwd_mod
-    from mujoco_ros_pkgs_tpu.ops import solver as solver_mod
-    xml = """
-    <mujoco><option solver="PGS"/>
+    xml = f"""
+    <mujoco>
+      <option solver="PGS" iterations="60" cone="{cone}"/>
       <worldbody>
-        <geom name="floor" type="plane" size="3 3 0.1"/>
-        <body pos="0 0 0.09"><freejoint/>
-          <geom type="sphere" size="0.1" mass="0.2"/></body>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body pos="0.02 0 0.12"><freejoint/>
+          <geom type="box" size=".1 .1 .1" friction="0.6" mass="0.4"/></body>
       </worldbody>
     </mujoco>
     """
+    mm = oracle.load_oracle_string(xml)
+    qvel0 = np.zeros(mm.nv)
+    qvel0[0] = 0.8
+    qpos_o, qvel_o = oracle.rollout(mm, 150, qvel0=qvel0)
     m = mjcf_mod.load_model_from_string(xml)
-    solver_mod._PGS_WARNED.clear()
     d = fwd_mod.make_data(m)
-    with warnings.catch_warnings(record=True) as rec:
-        warnings.simplefilter("always")
-        d = jax.jit(lambda dd: fwd_mod.step(m, dd))(d)
-    assert any("PGS" in str(w.message) for w in rec)
-    assert np.isfinite(np.asarray(d.qpos)).all()
+    d = d.replace(qvel=jnp.asarray(qvel0, dtype=d.qvel.dtype))
+    step = jax.jit(lambda dd: fwd_mod.step(m, dd))
+    for _ in range(150):
+        d = step(d)
+    np.testing.assert_allclose(np.asarray(d.qpos), qpos_o[-1], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(d.qvel), qvel_o[-1], atol=5e-3)

@@ -120,6 +120,38 @@ def test_body_state_services(srv):
     assert not srv.set_body_state(BodyState(name="nope")).success
 
 
+def test_set_body_state_frame_resolution(srv):
+    """PoseStamped-style frame_id resolution (callbacks.cpp:298-302): a pose
+    expressed in a registered static frame is transformed to world before
+    being applied, including chained frames; unknown frames error."""
+    srv.reset()
+    # table: translated + yawed 90deg about z
+    s2 = np.sqrt(0.5)
+    srv.register_static_transform("world", "table",
+                                  pos=(1.0, 0.5, 0.25),
+                                  quat=(s2, 0, 0, s2))
+    new = BodyState(name="box",
+                    pose=Pose(np.array([0.2, 0.0, 0.1]),
+                              np.array([1.0, 0, 0, 0]),
+                              frame_id="table"))
+    assert srv.set_body_state(new, set_twist=False).success
+    rd = srv.get_body_state("box")
+    # 90deg yaw maps +x to +y
+    np.testing.assert_allclose(rd.pose.position, [1.0, 0.7, 0.35], atol=1e-6)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(rd.pose.orientation)), [s2, 0, 0, s2], atol=1e-6)
+    # chained: shelf hangs off the table
+    srv.register_static_transform("table", "shelf", pos=(0.0, 0.0, 0.5))
+    new.pose = Pose(np.zeros(3), np.array([1.0, 0, 0, 0]), frame_id="shelf")
+    assert srv.set_body_state(new, set_twist=False).success
+    rd = srv.get_body_state("box")
+    np.testing.assert_allclose(rd.pose.position, [1.0, 0.5, 0.75], atol=1e-6)
+    # unknown frame rejected with a message naming the frame
+    new.pose = Pose(np.zeros(3), np.array([1.0, 0, 0, 0]), frame_id="mars")
+    res = srv.set_body_state(new, set_twist=False)
+    assert not res.success and "mars" in res.status_message
+
+
 def test_geom_properties_services(srv):
     props = srv.get_geom_properties("box")
     assert props.size_0 > 0
