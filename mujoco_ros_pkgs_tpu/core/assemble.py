@@ -408,12 +408,8 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
                                  ae.get("actrange") is not None))
         a_actrange[ai] = _attr_f(ae, "actrange", [0, 0])
         a_lengthrange[ai] = _attr_f(ae, "lengthrange", [0, 0])
-        if (gaintype == 2 or biastype == 2) \
-                and a_lengthrange[ai, 0] >= a_lengthrange[ai, 1]:
-            raise ValueError(
-                f"muscle actuator '{ae.get('name', ai)}' needs an explicit "
-                "lengthrange attribute (automatic lengthrange computation "
-                "via simulation is not supported)")
+        # muscle actuators without lengthrange are filled in post-assembly
+        # by core/lengthrange.py (the mj_setLengthRange analogue)
         if dyntype != 0:
             a_actadr.append(na); a_actnum.append(1); na += 1
         else:

@@ -988,4 +988,8 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
                            ls_iterations=ls_iterations, tolerance=tolerance,
                            ls_tolerance=ls_tolerance, disableflags=flags,
                            collision_mode=collision_mode))
+    if n_out.nu:
+        from mujoco_ros_pkgs_tpu.core import lengthrange as _lr
+        if _lr.needs_auto(n_out).any():
+            n_out = _lr.apply_auto_lengthrange(n_out)
     return n_out

@@ -261,6 +261,9 @@ def implicitfast(m: Model, d: Data) -> Data:
     return _advance(m, d, qacc, d.act_dot)
 
 
+# one-shot process-level warning registry for integrator aliasing
+_INTEGRATOR_WARNED: set = set()
+
 _RK4_A = np.array([[0.5, 0, 0], [0, 0.5, 0], [0, 0, 1.0]])
 _RK4_B = np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6])
 
@@ -314,6 +317,17 @@ def step(m: Model, d: Data, control_hook: Hook = None,
     d = d.replace(qacc_warmstart=d.qacc)
     if m.opt.integrator in (int(IntegratorType.IMPLICIT),
                             int(IntegratorType.IMPLICITFAST)):
+        if (m.opt.integrator == int(IntegratorType.IMPLICIT)
+                and "implicit" not in _INTEGRATOR_WARNED):
+            _INTEGRATOR_WARNED.add("implicit")
+            import warnings
+            warnings.warn(
+                "integrator='implicit' is treated as 'implicitfast': the "
+                "Coriolis/centrifugal velocity derivative (d RNE / d qvel) "
+                "that full implicit additionally folds into the implicit "
+                "matrix is not implemented. Trajectories match implicitfast, "
+                "not libmujoco's implicit, on models where Coriolis damping "
+                "matters (fast rotations).", stacklevel=2)
         d = implicitfast(m, d)
     else:
         d = euler(m, d)

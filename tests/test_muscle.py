@@ -125,10 +125,16 @@ def test_filterexact_and_act_clamp():
     assert abs(float(d.act[1]) + 0.2) < 1e-8   # clamped at actrange lo
 
 
-def test_muscle_requires_lengthrange():
+def test_muscle_lengthrange_autofilled():
+    """A muscle missing lengthrange no longer errors: the compiler pass
+    (core/lengthrange.py, mj_setLengthRange analogue) fills it from the
+    limited transmission joint."""
     bad = MUSCLE_JOINT_XML.replace(' lengthrange="-0.06 0.06"', "", 1)
-    with pytest.raises(ValueError, match="lengthrange"):
-        mjcf.load_model_from_string(bad)
+    m = mjcf.load_model_from_string(bad)
+    lr = np.asarray(m.actuator_lengthrange)[0]
+    # analytic fill: gear0 * jnt_range (MJCF angles parse as degrees)
+    expect = 0.05 * np.asarray(m.jnt_range)[0]
+    np.testing.assert_allclose(lr, expect, atol=1e-9)
 
 
 def test_muscle_curves_vs_bindings():
@@ -155,3 +161,50 @@ def test_muscle_curves_vs_bindings():
         r = float(muscle.bias(jnp.float64(ln), jnp.asarray(lr), acc0,
                               jnp.asarray(prm9)))
         assert abs(o - r) < 1e-9 * max(1.0, abs(o))
+
+
+AUTO_LR_JOINT_XML = MUSCLE_JOINT_XML.replace(
+    ' lengthrange="-0.06 0.06"', '')
+
+AUTO_LR_TENDON_XML = MUSCLE_TENDON_XML.replace(
+    ' lengthrange="0.25 0.45"',
+    '').replace('type="hinge" axis="0 1 0"',
+                'type="hinge" axis="0 1 0" range="-1.4 1.4"')
+
+
+def test_auto_lengthrange_joint():
+    """Muscle models WITHOUT lengthrange must load (the reference accepts
+    any valid model, callbacks.cpp:177-201; libmujoco's compiler fills the
+    attribute via mj_setLengthRange). Joint transmission is analytic:
+    gear * jnt_range, which libmujoco's own simulation converges to."""
+    mm = oracle.load_oracle_string(AUTO_LR_JOINT_XML)
+    m = mjcf.load_model_from_string(AUTO_LR_JOINT_XML)
+    ours = np.asarray(m.actuator_lengthrange)
+    ref = mm.actuator_lengthrange
+    for i in range(m.nu):
+        width_ref = ref[i, 1] - ref[i, 0]
+        assert width_ref > 0
+        np.testing.assert_allclose(ours[i], ref[i], atol=0.12 * width_ref,
+                                   err_msg=f"actuator {i}")
+
+
+def test_auto_lengthrange_tendon_sim():
+    """Tendon transmission: the damped push probe must land within 12% of
+    libmujoco's own simulated range."""
+    mm = oracle.load_oracle_string(AUTO_LR_TENDON_XML)
+    m = mjcf.load_model_from_string(AUTO_LR_TENDON_XML)
+    ours = np.asarray(m.actuator_lengthrange)[0]
+    ref = mm.actuator_lengthrange[0]
+    width = ref[1] - ref[0]
+    assert width > 0
+    # both probes settle against SOFT limit constraints, so the endpoints
+    # carry a penetration-depth tolerance; gate on absolute geometry error
+    # (the ranges here are ~2 mm wide on a ~0.4 m tendon)
+    np.testing.assert_allclose(ours, ref, atol=max(0.3 * width, 1.5e-3))
+    assert ours[1] > ours[0]
+
+
+def test_auto_lengthrange_unbounded_errors():
+    xml = AUTO_LR_JOINT_XML.replace(' range="-1.2 1.2"', '')
+    with pytest.raises(ValueError, match="lengthrange"):
+        mjcf.load_model_from_string(xml)
