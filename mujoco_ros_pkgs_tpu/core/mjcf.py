@@ -581,17 +581,18 @@ class _Geom:
 # ---------------------------------------------------------------------------
 
 
-def load_model(path: str, dtype=None, pair_topk: int = 0) -> types.Model:
+def load_model(path: str, dtype=None, pair_topk: int = 0,
+               con_topk: int = 0) -> types.Model:
     """Load and compile an MJCF file (mj_loadXML analogue)."""
     with open(path) as f:
         xml = f.read()
     return load_model_from_string(xml, dtype=dtype,
                                   base_dir=os.path.dirname(path),
-                                  pair_topk=pair_topk)
+                                  pair_topk=pair_topk, con_topk=con_topk)
 
 
 def load_model_from_string(xml: str, dtype=None, base_dir: str = ".",
-                           pair_topk: int = 0) -> types.Model:
+                           pair_topk: int = 0, con_topk: int = 0) -> types.Model:
     """Compile an MJCF string to a Model (mirrors the reference's VFS string-load
     path, mujoco_ros/src/mujoco_env.cpp:771-911).
 
@@ -607,6 +608,8 @@ def load_model_from_string(xml: str, dtype=None, base_dir: str = ".",
         m = _compile(root, base_dir)
         if pair_topk:
             m = m.replace(pair_topk=int(pair_topk))
+        if con_topk:
+            m = m.replace(con_topk=int(con_topk))
         if dtype is not None:
             m = m.astype(dtype)
     return m

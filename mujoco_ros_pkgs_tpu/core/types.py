@@ -441,6 +441,13 @@ class Model:
     # most-overlapping pairs hit the narrowphase (0 = every static pair runs,
     # the reference behavior). See ops/broadphase.py.
     pair_topk: int = _static(default=0)
+    # active-contact compaction: when > 0, the constraint solver gathers the
+    # con_topk most-penetrating contact slots per condim group (per env, in
+    # slot order) and iterates only on those — the TPU analogue of
+    # mj_makeConstraint instantiating ACTIVE contacts only. Exact whenever
+    # the per-env active count stays <= con_topk (deeper-contacts-win
+    # otherwise); see ops/solver._BlockView.
+    con_topk: int = _static(default=0)
 
     def astype(self, dtype) -> "Model":
         """Cast all floating-point arrays to dtype (e.g. f32 for TPU throughput)."""

@@ -80,9 +80,13 @@ class Efc:
     cb_R: Tuple[jax.Array, ...] = ()
     cb_sigma: Tuple[jax.Array, ...] = ()    # each (C, dim-1)
     cb_act: Tuple[jax.Array, ...] = ()      # each (C,)
+    cb_pen: Tuple[jax.Array, ...] = ()      # each (C,) includemargin - dist
     cb_dim: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    # canonical-row destinations per group: static tuples normally; None for
+    # con_topk-compacted groups, whose (traced) rows live in cb_dest_dyn
     cb_dest: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False,
                                                         default=())
+    cb_dest_dyn: Tuple[jax.Array, ...] = ()
 
 
 # ---------------------------------------------------------------------------
@@ -467,6 +471,7 @@ def make_efc(m: Model, d: Data) -> Efc:
         for k, i in enumerate(slots):
             by_dim.setdefault((int(c.dim[i]), c.geom1[i] == -2),
                               []).append((k, i))
+        ktop = int(getattr(m, "con_topk", 0) or 0)
         for (dim, is_dyn), items in sorted(by_dim.items()):
             ks = np.array([k for k, _ in items])
             idx = np.array([i for _, i in items])      # contact slot ids
@@ -487,138 +492,221 @@ def make_efc(m: Model, d: Data) -> Efc:
             solimp = c.solimp[idx]
             fric = c.friction[idx]                     # (C,5)
             act = dist < incm                          # (C,)
-            invw = (m.body_invweight0[b1, 0]
-                    + m.body_invweight0[b2, 0]).astype(dtype)
 
-            # contact Jacobian rows WITHOUT the (C, nv, 3) point-jacobian
-            # intermediates: a translational row along axis `a` at point p is
-            #   a . jacp_i = a . cdof_lin + cdof_ang . (off_i x a)
-            # i.e. a dot of the (nv, 6) cdof table with a per-contact spatial
-            # 6-vector [off x a, a] — one (C*T, 6)@(6, nv) matmul per side +
-            # a body-chain mask, instead of building/masking/differencing two
-            # (C, nv, 3) jacobians (profiled ~1.5 ms of HBM traffic per pile
-            # substep). Static body ids constant-fold the mask/root gathers,
-            # traced (broadphase-compacted) ids turn them into runtime gathers.
-            def _side_meta(bs):
-                if isinstance(bs, np.ndarray):
-                    mask = jnp.asarray(bdmask[:, bs].T, dtype=dtype)  # (C,nv)
-                    ref = d.subtree_com[rootid[bs]]                   # (C,3)
+            def group_fields(b1, b2, pos, frame, dist, incm, solref, solimp,
+                             fric, act, nc):
+                """Jacobian + row fields for `nc` contact slots of this group.
+
+                Called with the full slot set (canonical flat rows) and —
+                under active-contact compaction — again with the top-k
+                gathered subset, so the block view the solver consumes is
+                built at the compacted size directly and the full-size
+                einsums get dead-code-eliminated when nothing reads the
+                flat rows."""
+                # traced body ids: every per-body lookup runs as a ONE-HOT
+                # MXU matmul instead of a gather — TPU gathers with dynamic
+                # indices lower to serialized per-row programs (profiled
+                # ~3.6 ms/substep of the pile step in the gather form),
+                # while (nc, nbody) one-hot products are sub-microsecond.
+                # Exact: one-hot rows select a single element, and HIGHEST
+                # precision reconstructs f32 values bit-exactly.
+                PH = jax.lax.Precision.HIGHEST
+                if isinstance(b1, np.ndarray):
+                    B1h = B2h = None
+                    invw = (m.body_invweight0[b1, 0]
+                            + m.body_invweight0[b2, 0]).astype(dtype)
                 else:
-                    mask = jnp.asarray(bdmask.T, dtype=dtype)[bs]
-                    ref = d.subtree_com[jnp.asarray(rootid)[bs]]
-                return mask, pos - ref
+                    bodyids = jnp.arange(m.nbody)
+                    B1h = (b1[:, None] == bodyids).astype(dtype)
+                    B2h = (b2[:, None] == bodyids).astype(dtype)
+                    iw0 = jnp.asarray(m.body_invweight0[:, 0], dtype=dtype)
+                    invw = (jnp.matmul(B1h, iw0, precision=PH)
+                            + jnp.matmul(B2h, iw0, precision=PH))
 
-            mask1, off1 = _side_meta(b1)
-            mask2, off2 = _side_meta(b2)
-            axes_t = frame[:, :1] if dim == 1 else frame[:, :3]  # (C,T,3)
+                # contact Jacobian rows WITHOUT the (C, nv, 3) point-jacobian
+                # intermediates: a translational row along axis `a` at point
+                # p is   a . jacp_i = a . cdof_lin + cdof_ang . (off_i x a)
+                # i.e. a dot of the (nv, 6) cdof table with a per-contact
+                # spatial 6-vector [off x a, a] — one (nc*T, 6)@(6, nv)
+                # matmul per side + a body-chain mask, instead of building/
+                # masking/differencing two (nc, nv, 3) jacobians (profiled
+                # ~1.5 ms of HBM traffic per pile substep). Static body ids
+                # constant-fold the mask/root gathers, traced ids
+                # (broadphase/contact compaction) become runtime gathers.
+                def _side_meta(bs, Bh):
+                    if Bh is None:
+                        mask = jnp.asarray(bdmask[:, bs].T, dtype=dtype)
+                        ref = d.subtree_com[rootid[bs]]
+                    else:
+                        # 0/1 matrices: exact at any matmul precision
+                        mask = jnp.matmul(
+                            Bh, jnp.asarray(bdmask.T, dtype=dtype))
+                        ref = jnp.matmul(
+                            Bh, d.subtree_com[jnp.asarray(rootid)],
+                            precision=PH)
+                    return mask, pos - ref
 
-            def _trans_rows(off, mask):
-                A = jnp.concatenate(
-                    [jnp.cross(off[:, None, :], axes_t), axes_t], axis=-1)
-                P = jnp.einsum('ctk,vk->ctv', A, d.cdof)         # (C,T,nv)
-                return P * mask[:, None, :]
+                mask1, off1 = _side_meta(b1, B1h)
+                mask2, off2 = _side_meta(b2, B2h)
+                axes_t = frame[:, :1] if dim == 1 else frame[:, :3]
 
-            Jt_all = _trans_rows(off2, mask2) - _trans_rows(off1, mask1)
-            Jn = Jt_all[:, 0]                                    # (C, nv)
+                def _trans_rows(off, mask):
+                    A = jnp.concatenate(
+                        [jnp.cross(off[:, None, :], axes_t), axes_t], axis=-1)
+                    P = jnp.einsum('ctk,vk->ctv', A, d.cdof)     # (nc,T,nv)
+                    return P * mask[:, None, :]
 
-            # friction jacobians in row order k=1..dim-1
-            Jf_list = []
-            if dim > 1:
-                Jf_list.append(Jt_all[:, 1:3])
-            if dim > 3:
-                nrot = dim - 3
-                Pr = jnp.einsum('crk,vk->crv', frame[:, :nrot],
-                                d.cdof[:, :3])
-                Jf_list.append(Pr * (mask2 - mask1)[:, None, :])
-            Jf = (jnp.concatenate(Jf_list, axis=1) if Jf_list
-                  else jnp.zeros((C, 0, nv), dtype=dtype))       # (C,dim-1,nv)
+                Jt_all = _trans_rows(off2, mask2) - _trans_rows(off1, mask1)
+                Jn = Jt_all[:, 0]                                # (nc, nv)
+
+                # friction jacobians in row order k=1..dim-1
+                Jf_list = []
+                if dim > 1:
+                    Jf_list.append(Jt_all[:, 1:3])
+                if dim > 3:
+                    nrot = dim - 3
+                    Pr = jnp.einsum('crk,vk->crv', frame[:, :nrot],
+                                    d.cdof[:, :3])
+                    Jf_list.append(Pr * (mask2 - mask1)[:, None, :])
+                Jf = (jnp.concatenate(Jf_list, axis=1) if Jf_list
+                      else jnp.zeros((nc, 0, nv), dtype=dtype))  # (nc,d-1,nv)
+
+                k_, b_, imp_ = _kbi(m, solref, solimp, dist, incm)
+                if pyramidal and dim > 1:
+                    # facet rows Jn ± mu_k*Jt_k, one-sided quadratic ('lim');
+                    # invweight 2*mu0^2*(1+mu0^2)*invw (oracle-verified)
+                    nr = 2 * (dim - 1)
+                    mu = fric[:, :dim - 1]                      # (nc,dim-1)
+                    sgns = jnp.asarray([1.0, -1.0], dtype=dtype)
+                    Jpm = (Jn[:, None, None, :]
+                           + sgns[None, None, :, None]
+                           * (mu[:, :, None, None] * Jf[:, :, None, :]))
+                    Jblk = Jpm.reshape(nc, nr, nv)
+                    mu0 = fric[:, 0]
+                    invw_p = 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) * invw
+                    aref1 = (-b_[:, None]
+                             * jnp.einsum('crv,v->cr', Jblk, qvel)
+                             - (k_ * imp_ * (dist - incm))[:, None])
+                    R1 = jnp.repeat(jnp.maximum(
+                        (1.0 - imp_) / imp_ * invw_p,
+                        mmath.MINVAL)[:, None], nr, axis=1)
+                    blk = dict(
+                        J=Jblk.reshape(nc * nr, nv),
+                        pos=jnp.repeat(dist, nr),
+                        margin=jnp.repeat(incm, nr),
+                        R=R1.reshape(nc * nr), D=(1.0 / R1).reshape(nc * nr),
+                        aref=aref1.reshape(nc * nr),
+                        frictionloss=jnp.zeros(nc * nr, dtype=dtype),
+                        active=jnp.repeat(act, nr),
+                        kinds=['lim'] * (nc * nr))
+                    return blk, None
+
+                # elliptic (or frictionless): normal row + cone friction rows
+                Rn = jnp.maximum((1.0 - imp_) / imp_ * invw, mmath.MINVAL)
+                aref_n = (-b_ * jnp.einsum('cv,v->c', Jn, qvel)
+                          - k_ * imp_ * (dist - incm))
+                if dim > 1:
+                    imprat = jnp.asarray(m.opt.impratio, dtype=dtype)
+                    # friction-row D: normal D * impratio; ROTATIONAL rows
+                    # additionally scale by mu_k^2 (oracle-verified,
+                    # tests/test_physics_extra condim probes)
+                    scale = jnp.broadcast_to(imprat, (nc, dim - 1))
+                    if dim > 3:
+                        scale = scale.at[:, 2:].mul(fric[:, 2:dim - 1] ** 2)
+                    Rf = jnp.maximum(
+                        ((1.0 - imp_) / imp_ * invw)[:, None] / scale,
+                        mmath.MINVAL)
+                    aref_f = -b_[:, None] * jnp.einsum('crv,v->cr', Jf, qvel)
+                    Jblk = jnp.concatenate([Jn[:, None, :], Jf], axis=1)
+                    Rblk = jnp.concatenate([Rn[:, None], Rf], axis=1)
+                    arefblk = jnp.concatenate([aref_n[:, None], aref_f], 1)
+                    posblk = jnp.concatenate(
+                        [dist[:, None],
+                         jnp.zeros((nc, dim - 1), dtype=dtype)], 1)
+                    mrgblk = jnp.concatenate(
+                        [incm[:, None],
+                         jnp.zeros((nc, dim - 1), dtype=dtype)], 1)
+                else:
+                    Jblk = Jn[:, None, :]
+                    Rblk = Rn[:, None]
+                    arefblk = aref_n[:, None]
+                    posblk = dist[:, None]
+                    mrgblk = incm[:, None]
+                blk = dict(
+                    J=Jblk.reshape(nc * dim, nv),
+                    pos=posblk.reshape(nc * dim),
+                    margin=mrgblk.reshape(nc * dim),
+                    R=Rblk.reshape(nc * dim),
+                    D=(1.0 / Rblk).reshape(nc * dim),
+                    aref=arefblk.reshape(nc * dim),
+                    frictionloss=jnp.zeros(nc * dim, dtype=dtype),
+                    active=jnp.repeat(act, dim),
+                    kinds=['con'] * (nc * dim))
+                if dim > 1:
+                    mu0b = jnp.maximum(fric[:, 0], mmath.MINVAL)
+                    sigs_b = [jnp.broadcast_to(mu0b[:, None],
+                                               (nc, min(2, dim - 1)))]
+                    if dim > 3:
+                        sigs_b.append(jnp.maximum(fric[:, 2:dim - 1],
+                                                  mmath.MINVAL))
+                    ell = (dim, Jblk, arefblk, 1.0 / Rblk, Rblk,
+                           jnp.concatenate(sigs_b, axis=1), act, incm - dist)
+                    return blk, ell
+                return blk, None
 
             dest = np.concatenate([
                 np.arange(bases[k], bases[k]
                           + (2 * (dim - 1) if (pyramidal and dim > 1)
                              else dim)) for k in ks])
 
-            k_, b_, imp_ = _kbi(m, solref, solimp, dist, incm)
+            blk, ell = group_fields(b1, b2, pos, frame, dist, incm, solref,
+                                    solimp, fric, act, C)
+            con_blocks.append((dest, blk))
             if pyramidal and dim > 1:
-                # facet rows Jn ± mu_k*Jt_k, one-sided quadratic ('lim');
-                # invweight 2*mu0^2*(1+mu0^2)*invw (oracle-verified)
-                nr = 2 * (dim - 1)
-                mu = fric[:, :dim - 1]                          # (C,dim-1)
-                sgns = jnp.asarray([1.0, -1.0], dtype=dtype)
-                Jpm = (Jn[:, None, None, :]
-                       + sgns[None, None, :, None]
-                       * (mu[:, :, None, None] * Jf[:, :, None, :]))
-                Jblk = Jpm.reshape(C, nr, nv)
-                mu0 = fric[:, 0]
-                invw_p = 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) * invw
-                aref1 = (-b_[:, None] * jnp.einsum('crv,v->cr', Jblk, qvel)
-                         - (k_ * imp_ * (dist - incm))[:, None])
-                R1 = jnp.repeat(jnp.maximum(
-                    (1.0 - imp_) / imp_ * invw_p,
-                    mmath.MINVAL)[:, None], nr, axis=1)
-                blk = dict(
-                    J=Jblk.reshape(C * nr, nv),
-                    pos=jnp.repeat(dist, nr), margin=jnp.repeat(incm, nr),
-                    R=R1.reshape(C * nr), D=(1.0 / R1).reshape(C * nr),
-                    aref=aref1.reshape(C * nr),
-                    frictionloss=jnp.zeros(C * nr, dtype=dtype),
-                    active=jnp.repeat(act, nr),
-                    kinds=['lim'] * (C * nr))
-                con_blocks.append((dest, blk))
                 simple_extra.append((dest, blk))
                 continue
-
-            # elliptic (or frictionless): normal row + cone friction rows
-            Rn = jnp.maximum((1.0 - imp_) / imp_ * invw, mmath.MINVAL)
-            aref_n = (-b_ * jnp.einsum('cv,v->c', Jn, qvel)
-                      - k_ * imp_ * (dist - incm))
-            if dim > 1:
-                imprat = jnp.asarray(m.opt.impratio, dtype=dtype)
-                # friction-row D: normal D * impratio; ROTATIONAL rows
-                # additionally scale by mu_k^2 (oracle-verified,
-                # tests/test_physics_extra condim probes)
-                scale = jnp.broadcast_to(imprat, (C, dim - 1))
-                if dim > 3:
-                    scale = scale.at[:, 2:].mul(fric[:, 2:dim - 1] ** 2)
-                Rf = jnp.maximum(
-                    ((1.0 - imp_) / imp_ * invw)[:, None] / scale,
-                    mmath.MINVAL)
-                aref_f = -b_[:, None] * jnp.einsum('crv,v->cr', Jf, qvel)
-                Jblk = jnp.concatenate([Jn[:, None, :], Jf], axis=1)
-                Rblk = jnp.concatenate([Rn[:, None], Rf], axis=1)
-                arefblk = jnp.concatenate([aref_n[:, None], aref_f], axis=1)
-                posblk = jnp.concatenate(
-                    [dist[:, None], jnp.zeros((C, dim - 1), dtype=dtype)], 1)
-                mrgblk = jnp.concatenate(
-                    [incm[:, None], jnp.zeros((C, dim - 1), dtype=dtype)], 1)
-            else:
-                Jblk = Jn[:, None, :]
-                Rblk = Rn[:, None]
-                arefblk = aref_n[:, None]
-                posblk = dist[:, None]
-                mrgblk = incm[:, None]
-            blk = dict(
-                J=Jblk.reshape(C * dim, nv),
-                pos=posblk.reshape(C * dim),
-                margin=mrgblk.reshape(C * dim),
-                R=Rblk.reshape(C * dim), D=(1.0 / Rblk).reshape(C * dim),
-                aref=arefblk.reshape(C * dim),
-                frictionloss=jnp.zeros(C * dim, dtype=dtype),
-                active=jnp.repeat(act, dim),
-                kinds=['con'] * (C * dim))
-            con_blocks.append((dest, blk))
-            if dim > 1:
-                mu0b = jnp.maximum(fric[:, 0], mmath.MINVAL)
-                sigs_b = [jnp.broadcast_to(mu0b[:, None],
-                                           (C, min(2, dim - 1)))]
-                if dim > 3:
-                    sigs_b.append(jnp.maximum(fric[:, 2:dim - 1],
-                                              mmath.MINVAL))
-                ell_meta.append((dest, dim, Jblk, arefblk,
-                                 1.0 / Rblk, Rblk,
-                                 jnp.concatenate(sigs_b, axis=1), act))
-            else:
+            if ell is None:
                 simple_extra.append((dest, blk))
+                continue
+            if ktop and C > ktop:
+                # active-contact compaction (m.con_topk): rebuild the solver
+                # block at the top-K most-penetrating slots — the TPU twin
+                # of mj_makeConstraint instantiating only ACTIVE contacts,
+                # with a static capacity. Exact while the per-env active
+                # count <= K (inactive slots carry exactly-zero forces);
+                # deepest-K-win beyond. Sorted indices preserve canonical
+                # slot (reduction) order. The full-size Jacobian above is
+                # then dead code unless a consumer reads the flat rows.
+                pen = incm - dist
+                sel = jnp.sort(jax.lax.top_k(pen, ktop)[1])
+                # one-hot MXU selection instead of 10 dynamic gathers (see
+                # the gather note in group_fields — exact at HIGHEST)
+                PH = jax.lax.Precision.HIGHEST
+                Sh = (sel[:, None] == jnp.arange(C)[None, :]).astype(dtype)
+
+                def gsel(x):
+                    flat = x.reshape(C, -1).astype(dtype)
+                    out = jax.lax.dot_general(
+                        Sh, flat, (((1,), (0,)), ((), ())), precision=PH)
+                    return out.reshape((ktop,) + x.shape[1:])
+
+                def gsel_int(x):
+                    return jnp.round(
+                        gsel(x.astype(dtype)[:, None])[:, 0]).astype(jnp.int32)
+
+                b1j = jnp.asarray(b1) if isinstance(b1, np.ndarray) else b1
+                b2j = jnp.asarray(b2) if isinstance(b2, np.ndarray) else b2
+                _, ell_c = group_fields(
+                    gsel_int(b1j), gsel_int(b2j), gsel(pos), gsel(frame),
+                    gsel(dist[:, None])[:, 0], gsel(incm[:, None])[:, 0],
+                    gsel(solref), gsel(solimp), gsel(fric),
+                    gsel(act.astype(dtype)[:, None])[:, 0] > 0.5, ktop)
+                dmat = jnp.asarray(dest.reshape(C, dim), dtype=dtype)
+                dest_c = jnp.round(jnp.matmul(
+                    Sh, dmat, precision=PH)).astype(jnp.int32).reshape(-1)
+                ell_meta.append((dest_c,) + ell_c)
+            else:
+                ell_meta.append((dest,) + ell)
 
     if not rows and not con_blocks:
         return None
@@ -676,8 +764,12 @@ def make_efc(m: Model, d: Data) -> Efc:
         cb_R=tuple(e[5] for e in ell_meta),
         cb_sigma=tuple(e[6] for e in ell_meta),
         cb_act=tuple(e[7] for e in ell_meta),
+        cb_pen=tuple(e[8] for e in ell_meta),
         cb_dim=tuple(int(e[1]) for e in ell_meta),
-        cb_dest=tuple(tuple(int(r) for r in e[0]) for e in ell_meta),
+        cb_dest=tuple(None if not isinstance(e[0], np.ndarray)
+                      else tuple(int(r) for r in e[0]) for e in ell_meta),
+        cb_dest_dyn=tuple(e[0] if not isinstance(e[0], np.ndarray)
+                          else jnp.zeros((0,), jnp.int32) for e in ell_meta),
         J=field("J", [r["J"] for r in rows])[perm],
         pos=field("pos", [r["pos"] for r in rows])[perm],
         margin=field("margin", [r["margin"] for r in rows])[perm],

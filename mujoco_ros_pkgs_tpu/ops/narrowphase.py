@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from mujoco_ros_pkgs_tpu.core.types import Contact, Data, GeomType, Model
 from mujoco_ros_pkgs_tpu.ops import math as mmath
+from mujoco_ros_pkgs_tpu.ops import narrowphase_soa as soa
 
 
 # ---------------------------------------------------------------------------
@@ -751,11 +752,22 @@ def collide(m: Model, d: Data) -> Data:
         if key[0] == "g":
             t1, t2, did1, did2 = key[1], key[2], key[3], key[4]
             fn, _ = _DISPATCH[(t1, t2)]
-            kw = ({"st": (t1, t2, did1, did2)}
-                  if getattr(fn, "needs_static", False) else {})
-            di, po, fr = jax.vmap(
-                lambda a, b: fn(m, d, a, b, **kw))(
-                    jnp.asarray(g1s), jnp.asarray(g2s))   # (P, cap, ...)
+            use_soa = (soa.enabled() and fn.__module__ == __name__
+                       and fn.__name__ in soa.SOA_FNS)
+            if use_soa:
+                # env-on-lanes layout (narrowphase_soa): the whole group runs
+                # as (pairs, env) component arrays with env on the TPU lanes
+                g1j, g2j = jnp.asarray(g1s), jnp.asarray(g2s)
+                di, po, fr = soa.collide_pair(
+                    fn.__name__,
+                    d.geom_xpos[g1j], d.geom_xmat[g1j], m.geom_size[g1j],
+                    d.geom_xpos[g2j], d.geom_xmat[g2j], m.geom_size[g2j])
+            else:
+                kw = ({"st": (t1, t2, did1, did2)}
+                      if getattr(fn, "needs_static", False) else {})
+                di, po, fr = jax.vmap(
+                    lambda a, b: fn(m, d, a, b, **kw))(
+                        jnp.asarray(g1s), jnp.asarray(g2s))   # (P, cap, ...)
         else:
             g1, g2 = key[1], key[2]
             fn, _ = _DISPATCH[(GeomType(m.geom_type[g1]),

@@ -112,7 +112,7 @@ class _BlockView:
     Jacobian assembly entirely (a profiled bandwidth sink on contact-rich
     scenes; see Efc docstring)."""
 
-    def __init__(self, efc: Efc):
+    def __init__(self, efc: Efc, m: Model = None):
         import types
         kinds = np.array(efc.simple_kinds)
         self.eq_m = jnp.asarray(kinds == 'eq')
@@ -125,12 +125,18 @@ class _BlockView:
         self.floss = efc.simple_floss
         self.dest = np.array(efc.simple_dest, dtype=np.int32)
         self.nefc = len(efc.kinds)
-        self.groups = [
-            types.SimpleNamespace(J=J, aref=a, D=D, R=R, sigma=sg, act=ac,
-                                  dim=dim, dest=np.array(dst, dtype=np.int32))
-            for J, a, D, R, sg, ac, dim, dst in zip(
+        # m.con_topk compaction happens at efc-assembly time (ops/efc.py
+        # builds the solver block at the compacted size directly, so the
+        # full-size Jacobian einsums are dead code on the hot path);
+        # compacted groups carry TRACED destination rows in cb_dest_dyn.
+        groups = []
+        for J, a, D, R, sg, ac, dim, dst, dstd in zip(
                 efc.cb_J, efc.cb_aref, efc.cb_D, efc.cb_R, efc.cb_sigma,
-                efc.cb_act, efc.cb_dim, efc.cb_dest)]
+                efc.cb_act, efc.cb_dim, efc.cb_dest, efc.cb_dest_dyn):
+            dest = dstd if dst is None else np.array(dst, dtype=np.int32)
+            groups.append(types.SimpleNamespace(
+                J=J, aref=a, D=D, R=R, sigma=sg, act=ac, dim=dim, dest=dest))
+        self.groups = groups
 
 
 def _simple_forces(cg, jar, want_w):
@@ -485,7 +491,7 @@ def _solve_cg_jnp(m: Model, d: Data, efc: Efc) -> Data:
     a_s = d.qacc_smooth
     M = d.qM
     nv = m.nv
-    cg = _BlockView(efc)
+    cg = _BlockView(efc, m)
     J = cg.J
     groups = cg.groups
     from mujoco_ros_pkgs_tpu.ops import linalg_tpu
@@ -696,7 +702,7 @@ def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
     a_s = d.qacc_smooth
     M = d.qM
     nv = m.nv
-    cg = _BlockView(efc)
+    cg = _BlockView(efc, m)
     J = cg.J
     groups = cg.groups
 
@@ -759,17 +765,27 @@ def _solve_jnp(m: Model, d: Data, efc: Efc, _stats_sink: dict = None) -> Data:
         # indefinite H -> Cholesky NaN. Gradients/line-search keep default
         # precision (they perturb convergence, not positive-definiteness).
         PH = jax.lax.Precision.HIGHEST
-        H = M + jnp.matmul(J.T * w_s, J, precision=PH)
+        # ONE signed Gram matmul for the whole Hessian: stack the simple
+        # rows, the cone rows (row weights wrow), and the two rank-1 stacks
+        # (+Au, -Bw) into a single (R, nv) matrix with a signed row scale —
+        # H = M + (K^T * s) K. The three separate matmuls this replaces each
+        # paid their own (B, R, nv) layout copy on TPU (profiled ~1 ms of
+        # pure copies per Newton iteration on the pile scene), and the merged
+        # contraction runs the MXU at a larger reduction depth.
+        Ks, ss = [J], [w_s]
         for g, (f_c, cw, _) in zip(groups, cones):
             Jf = g.J.reshape(-1, nv)
             grad = grad - Jf.T @ f_c.reshape(-1)
-            # J^T W J via the rank-1 form: one row-weighted matmul plus
-            # two (nv, C) rank-1 stacks — all MXU-shaped
-            H = H + jnp.matmul(Jf.T * cw.wrow.reshape(-1), Jf, precision=PH)
             Au = jnp.einsum('cdv,cd->cv', g.J, cw.ru, precision=PH)
             Bw = jnp.einsum('cdv,cd->cv', g.J, cw.rw, precision=PH)
-            H = (H + jnp.matmul(Au.T, Au, precision=PH)
-                 - jnp.matmul(Bw.T, Bw, precision=PH))
+            C = Au.shape[0]
+            Ks += [Jf, Au, Bw]
+            ss += [cw.wrow.reshape(-1), jnp.ones((C,), dtype=dtype),
+                   -jnp.ones((C,), dtype=dtype)]
+        K = jnp.concatenate(Ks, axis=0) if len(Ks) > 1 else Ks[0]
+        s = jnp.concatenate(ss) if len(ss) > 1 else ss[0]
+        H = M + jax.lax.dot_general(K * s[:, None], K,
+                                    (((0,), (0,)), ((), ())), precision=PH)
         H = H + 1e-12 * jnp.eye(nv, dtype=dtype)
         from mujoco_ros_pkgs_tpu.ops import linalg_tpu
         dx = -linalg_tpu.psd_solve(H, grad)
