@@ -302,8 +302,8 @@ def _make_kernel(nv: int, kinds: Tuple[str, ...],
         scale = jnp.maximum(scale, mmath.MINVAL)
         done = jnp.zeros_like(x[0], dtype=jnp.bool_)
 
-        # ---- Newton iterations (unrolled; ~1.5k vector ops each) ----
-        for _ in range(niter):
+        # ---- Newton iterations ----
+        def newton_body(x, done):
             jar = jar_at(x)
             f, w, _, Wcon = forces(jar, True)
             xs = [x[v] - a_s[v] for v in range(nv)]
@@ -400,7 +400,29 @@ def _make_kernel(nv: int, kinds: Tuple[str, ...],
             gradsq = sum(grad[v] * grad[v] for v in range(nv))
             new_done = done | (improved_est < tol * scale) | (gradsq < tol * tol)
             x = [jnp.where(done, x[v], x[v] + alpha * dx[v]) for v in range(nv)]
-            done = new_done
+            return x, new_done
+
+        # the Newton loop runs as an in-kernel fori_loop so the Mosaic
+        # program contains ONE iteration body instead of niter unrolled
+        # copies (the unrolled form compiled 150s+ on the remote service for
+        # niter=32 — VERDICT r4 #4). Carry = flat tuple of (8,128) f32 tiles
+        # (x per dof + done as f32): the earlier stacked (nv,8,128)+bool
+        # carry crashed Mosaic (ROADMAP r4 §4); the flat tuple lowers fine.
+        # MRP_KERNEL_LOOP=unroll restores the unrolled form.
+        if niter > 1 and os.environ.get("MRP_KERNEL_LOOP", "fori") == "fori":
+            def body(_, carry):
+                xs = list(carry[:nv])
+                dn = carry[nv] > 0.5
+                xs, dn = newton_body(xs, dn)
+                return tuple(xs) + (jnp.where(dn, 1.0, 0.0),)
+
+            carry = jax.lax.fori_loop(
+                0, niter, body,
+                tuple(x) + (jnp.zeros_like(x[0]),))
+            x = list(carry[:nv])
+        else:
+            for _ in range(niter):
+                x, done = newton_body(x, done)
 
         # ---- outputs: qacc, qfrc_constraint = J^T f, and the row forces ----
         f, _, _, _ = forces(jar_at(x), False)
