@@ -38,7 +38,8 @@ def _itup(arr):
     return tuple(int(v) for v in np.asarray(arr).ravel())
 
 
-def model_from_mujoco(mm, dtype=None, pair_topk: int = 0) -> types.Model:
+def model_from_mujoco(mm, dtype=None, pair_topk: int = 0,
+                      con_topk: int = 0) -> types.Model:
     """Convert a compiled `mujoco.MjModel` into a Model pytree."""
     import jax.numpy as jnp
     import mujoco
@@ -252,6 +253,7 @@ def model_from_mujoco(mm, dtype=None, pair_topk: int = 0) -> types.Model:
         pair_exclude=excl, pair_explicit=expl,
         collision_mode="all",
         pair_topk=int(pair_topk),
+        con_topk=int(con_topk),
     )
     m = assemble.rebuild_pair_table(m)
     m = constants.set_constants(m)
@@ -260,11 +262,13 @@ def model_from_mujoco(mm, dtype=None, pair_topk: int = 0) -> types.Model:
     return m
 
 
-def load_model_mjb(path: str, dtype=None, pair_topk: int = 0) -> types.Model:
+def load_model_mjb(path: str, dtype=None, pair_topk: int = 0,
+                   con_topk: int = 0) -> types.Model:
     """Load a MuJoCo binary `.mjb` model (mj_loadModel analogue)."""
     try:
         import mujoco
     except ImportError as e:
         raise ValueError(f"mjb load requires the mujoco pip package: {e}")
     mm = mujoco.MjModel.from_binary_path(path)
-    return model_from_mujoco(mm, dtype=dtype, pair_topk=pair_topk)
+    return model_from_mujoco(mm, dtype=dtype, pair_topk=pair_topk,
+                             con_topk=con_topk)

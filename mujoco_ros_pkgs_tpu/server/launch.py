@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "(0 = exact static pair table; see "
                          "ops/broadphase.py and the broadphase_overflow "
                          "solver stat)")
+    ap.add_argument("--con-topk", type=int, default=0,
+                    help="active-contact solver compaction: the constraint "
+                         "solver iterates on the K most-penetrating contact "
+                         "slots per condim group (0 = all slots; exact "
+                         "while the active count stays <= K; see "
+                         "Model.con_topk)")
     ap.add_argument("--distributed", action="store_true",
                     help="shard the env batch over a ('host','env') mesh "
                          "(parallel/multihost.py); services are originated "
@@ -182,6 +188,7 @@ def main(argv=None) -> int:
         ctrl_noise_rate=args.ctrl_noise_rate,
         cam_config=cam_config,
         pair_topk=args.pair_topk,
+        con_topk=args.con_topk,
         distributed=args.distributed,
         mesh_hosts=args.mesh_hosts or None,
         dtype=jnp.float32 if args.f32 else None)

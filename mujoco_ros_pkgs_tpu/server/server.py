@@ -92,7 +92,7 @@ class MujocoServer:
                  plugins: Sequence[MujocoPlugin] = (),
                  ctrl_noise_std: float = 0.0, ctrl_noise_rate: float = 0.0,
                  cam_config: Optional[dict] = None,
-                 pair_topk: int = 0,
+                 pair_topk: int = 0, con_topk: int = 0,
                  distributed: bool = False, mesh_hosts: Optional[int] = None,
                  seed: int = 0,
                  dtype=None):
@@ -124,6 +124,8 @@ class MujocoServer:
         # broadphase top-k compaction knob (ops/broadphase.py; 0 = exact
         # static pair table, the reference-equivalent behavior)
         self.pair_topk = int(pair_topk)
+        # active-contact solver compaction capacity (see Model.con_topk)
+        self.con_topk = int(con_topk)
         self._status = STATUS_LOAD_REQUESTED
         self._load_error = ""
         self.paused = not unpause
@@ -183,17 +185,20 @@ class MujocoServer:
     def _compile(self, source: str) -> Model:
         if "<" in source:   # XML string (the reference's VFS string path)
             m = mjcf.load_model_from_string(source, dtype=self.dtype,
-                                            pair_topk=self.pair_topk)
+                                            pair_topk=self.pair_topk,
+                                            con_topk=self.con_topk)
         elif source.endswith(".mjb"):
             # MuJoCo binary model — mj_loadModel analogue
             # (mujoco_ros/src/mujoco_env.cpp:785-836; the reload service
             # accepts either format)
             from mujoco_ros_pkgs_tpu.core import interop
             m = interop.load_model_mjb(source, dtype=self.dtype,
-                                       pair_topk=self.pair_topk)
+                                       pair_topk=self.pair_topk,
+                                       con_topk=self.con_topk)
         else:
             m = mjcf.load_model(source, dtype=self.dtype,
-                                pair_topk=self.pair_topk)
+                                pair_topk=self.pair_topk,
+                                con_topk=self.con_topk)
         return m
 
     def _load_model(self, source: str):
