@@ -55,6 +55,39 @@ def camera_intrinsics(m: Model, cam_id: int, width: int, height: int):
                 width=width, height=height)
 
 
+def pixel_ray(m: Model, d: Data, cam_id: int, x, y, width: int, height: int):
+    """World-frame ray through render pixel (x, y) — x right, y down, same
+    convention as render()'s pixel grid. Returns (origin (3,), dir (3,))."""
+    dtype = d.qpos.dtype
+    pos, R = cam_pose(m, d, cam_id)
+    fovy = m.cam_fovy[cam_id].astype(dtype) * (jnp.pi / 180.0)
+    f = (height / 2.0) / jnp.tan(fovy / 2.0)
+    px = (jnp.asarray(x, dtype) - width / 2.0 + 0.5) / f
+    py = (height / 2.0 - jnp.asarray(y, dtype) - 0.5) / f
+    dir_cam = jnp.stack([px, py, -jnp.ones((), dtype)])
+    dir_cam = dir_cam / jnp.linalg.norm(dir_cam)
+    return pos, R @ dir_cam
+
+
+def pick(m: Model, d: Data, cam_id: int, x, y, width: int, height: int):
+    """Screen-ray body selection — the watch-UI analogue of the viewer's
+    mouse select (mjv_select; used by the perturbation drag at
+    mujoco_ros/src/viewer.cpp:1451-1480). Returns (dist, geom_id, point):
+    distance along the ray, hit geom id (-1 = background) and the world hit
+    point. Pure jnp; callers jit + cache per model."""
+    pos, direction = pixel_ray(m, d, cam_id, x, y, width, height)
+    dtype = d.qpos.dtype
+    best_t = jnp.asarray(jnp.inf, dtype=dtype)
+    best_g = jnp.asarray(-1, dtype=jnp.int32)
+    for g in range(m.ngeom):
+        t = _ray_geom(m, d, g, pos, direction)
+        hit = t < best_t
+        best_t = jnp.where(hit, t, best_t)
+        best_g = jnp.where(hit, jnp.asarray(g, dtype=jnp.int32), best_g)
+    point = pos + jnp.where(jnp.isinf(best_t), 0.0, best_t) * direction
+    return best_t, best_g, point
+
+
 def render(m: Model, d: Data, cam_id: int, width: int = 720,
            height: int = 480, markers: Tuple[RenderMarker, ...] = ()):
     """Render one env's camera: returns (rgb (H,W,3) f32 0..1,

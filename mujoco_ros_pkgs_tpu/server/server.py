@@ -119,6 +119,9 @@ class MujocoServer:
         self._admin_hash = admin_hash
         self._log = get_logger("server")
         self._watch = None
+        self._watch_meta = None
+        self._pick_cache = {}
+        self._needs_forward = False
         self.nenv = int(nenv)
         self.dtype = dtype
         # broadphase top-k compaction knob (ops/broadphase.py; 0 = exact
@@ -234,6 +237,29 @@ class MujocoServer:
                 full, self.mesh, dtype=dtype or arr.dtype)
         return jnp.asarray(full, dtype=dtype)
 
+    def _forward_batch(self):
+        """Batched mj_forward over the whole env batch: recompute derived
+        quantities (kinematics, sensors, contacts) without integrating."""
+        key = ("fwd_only", id(self.m))
+        fn = self._step_cache.get(key)
+        if fn is None:
+            model = self.m
+            fn = jax.jit(lambda dd: jax.vmap(
+                lambda x: fwd.forward(model, x))(dd))
+            self._step_cache[key] = fn
+        self.d = fn(self.d)
+
+    def _fresh_env_slice(self, env_id: int):
+        """_env_slice with derived state refreshed first: if a service
+        mutated qpos/model state since the last step/forward, run the
+        batched forward so renders/pickers see live kinematics even when
+        the physics loop is not running (library mode). Takes the lock."""
+        with self._lock:
+            if self._needs_forward and not self._dist:
+                self._forward_batch()
+                self._needs_forward = False
+            return self._env_slice(env_id)
+
     def _env_slice(self, env_id: int):
         """One env's Data pytree (gathers sharded leaves in dist mode)."""
         if self._dist and jax.process_count() > 1:
@@ -297,6 +323,15 @@ class MujocoServer:
                 pos=(0.0, 0.0, 0.0),
                 # optical frame: z forward, x right, y down (REP-103)
                 quat=(0.5, -0.5, 0.5, -0.5))
+
+        # populate derived kinematics (xpos/geom_xpos/...) so renders and
+        # screen-ray picking are live BEFORE the first step — the reference
+        # keeps paused sims live by running mj_forward in the paused loop
+        # branch (mujoco_env.cpp:621-623); see also the paused-branch
+        # _forward_batch in _physics_loop
+        if not self._dist:
+            self._forward_batch()
+        self._needs_forward = False
 
         self._status = STATUS_RUNNING
         self._load_error = ""
@@ -419,6 +454,9 @@ class MujocoServer:
         collective every process must join). MUST be called with self._lock
         held so broadcast order == execution order across server threads.
         No-op in single-host mode and while following."""
+        # any originated mutation marks derived state stale so the paused
+        # physics loop re-runs forward (mj_forward-when-paused semantics)
+        self._needs_forward = True
         if not (self._dist and not self._following
                 and jax.process_count() > 1):
             return
@@ -659,6 +697,13 @@ class MujocoServer:
                 cpu_start = _time.perf_counter()
                 sim_start = self.sim_time
                 if self.paused:
+                    # mj_forward-when-paused (mujoco_env.cpp:621-623): keep
+                    # renders/pickers/sensors live after service-side state
+                    # edits without advancing time
+                    if self._needs_forward and not self._dist:
+                        with self._lock:
+                            self._forward_batch()
+                            self._needs_forward = False
                     _time.sleep(0.001)
                     continue
             chunk = 8 if self.realtime_factor < 0 else 1
@@ -1389,10 +1434,12 @@ class MujocoServer:
             return ServiceResult(False, f"no camera named '{cam_name}'")
 
         render_cache = {}
+        self._watch_meta = (cid, width, height)
+        self._pick_cache = {}
 
         def frame():
+            d1 = self._fresh_env_slice(env_id)
             with self._lock:
-                d1 = self._env_slice(env_id)
                 model = self.m
             key = id(model)
             fn = render_cache.get(key)
@@ -1453,12 +1500,31 @@ class MujocoServer:
             return res(r)
 
         def ctrl(b):
-            return res(self.set_ctrl(b.get("values", []),
+            values = b.get("values")
+            if values is None and "index" in b:
+                # single-slider form: patch one entry of the live vector
+                env_id = b.get("env_id")
+                with self._lock:
+                    base = np.array(self._env_slice(
+                        int(env_id) if env_id is not None else 0).ctrl,
+                        dtype=np.float64)
+                base[int(b["index"])] = float(b.get("value", 0.0))
+                values = base.tolist()
+            return res(self.set_ctrl(values if values is not None else [],
                                      env_id=b.get("env_id"),
                                      admin_hash=b.get("admin_hash", "")))
 
         def qpos(b):
-            return res(self.set_qpos(b.get("values", []),
+            values = b.get("values")
+            if values is None and "index" in b:
+                env_id = b.get("env_id")
+                with self._lock:
+                    base = np.array(self._env_slice(
+                        int(env_id) if env_id is not None else 0).qpos,
+                        dtype=np.float64)
+                base[int(b["index"])] = float(b.get("value", 0.0))
+                values = base.tolist()
+            return res(self.set_qpos(values if values is not None else [],
                                      env_id=b.get("env_id"),
                                      zero_qvel=bool(b.get("zero_qvel", False)),
                                      admin_hash=b.get("admin_hash", "")))
@@ -1483,15 +1549,134 @@ class MujocoServer:
                      physics=self.get_physics_properties())
             return s
 
+        def _pick_fn(model, cid, W, H):
+            """jit'd (select + perturb-target) kernel, cached per model."""
+            key = id(model)
+            fn = self._pick_cache.get(key)
+            if fn is None:
+                self._pick_cache.clear()
+                from mujoco_ros_pkgs_tpu.render import camera as rcam
+
+                def run(dd, x, y, dist, bid):
+                    t, g, point = rcam.pick(model, dd, cid, x, y, W, H)
+                    origin, direction = rcam.pixel_ray(model, dd, cid, x, y,
+                                                       W, H)
+                    target = origin + dist * direction
+                    xpos_b = dd.xpos[bid]
+                    root = jnp.asarray(model.body_rootid)[bid]
+                    cv = dd.cvel[bid]
+                    v_b = cv[3:] + jnp.cross(cv[:3],
+                                             xpos_b - dd.subtree_com[root])
+                    return t, g, point, target, xpos_b, v_b
+                fn = jax.jit(run)
+                self._pick_cache[key] = fn
+            return fn
+
+        def select(b):
+            """Screen-ray body pick (the viewer's mjv_select analogue)."""
+            if self._watch_meta is None:
+                return {"success": False, "message": "no watch running"}
+            cid, W, H = self._watch_meta
+            d1 = self._fresh_env_slice(int(b.get("env_id", 0)))
+            with self._lock:
+                model = self.m
+            fn = _pick_fn(model, cid, W, H)
+            t, g, point, _, _, _ = fn(d1, float(b.get("x", 0)),
+                                      float(b.get("y", 0)), 1.0, 0)
+            g = int(np.asarray(g))
+            out = {"success": True, "geom": g, "body": -1, "body_name": "",
+                   "geom_name": "", "dist": float(np.asarray(t)) if g >= 0
+                   else -1.0,
+                   "point": np.asarray(point).tolist()}
+            if g >= 0:
+                body = int(model.geom_bodyid[g])
+                out.update(body=body, body_name=model.body_names[body],
+                           geom_name=model.geom_names[g])
+            return out
+
+        def perturb(b):
+            """Drag perturbation: mass-scaled spring toward the mouse ray at
+            the grab depth, re-applied on every drag event — the headless
+            twin of the viewer's ApplyForcePerturbations
+            (mujoco_ros/src/viewer.cpp:1451-1480)."""
+            if self._watch_meta is None:
+                return {"success": False, "message": "no watch running"}
+            cid, W, H = self._watch_meta
+            name = b.get("body", "")
+            try:
+                bid = self.m.body(name)
+            except ValueError:
+                return {"success": False, "message": f"no body '{name}'"}
+            env_id = b.get("env_id")
+            kp = float(b.get("kp", 100.0))
+            kv = 2.0 * float(np.sqrt(kp))
+            d1 = self._fresh_env_slice(
+                int(env_id) if env_id is not None else 0)
+            with self._lock:
+                model = self.m
+            fn = _pick_fn(model, cid, W, H)
+            _, _, _, target, xpos_b, v_b = fn(
+                d1, float(b.get("x", 0)), float(b.get("y", 0)),
+                float(b.get("dist", 1.0)), bid)
+            mass = float(np.asarray(model.body_mass[bid]))
+            f = mass * (kp * (np.asarray(target) - np.asarray(xpos_b))
+                        - kv * np.asarray(v_b))
+            r = self.apply_body_wrench(name, force=f.tolist(),
+                                       env_id=env_id,
+                                       admin_hash=b.get("admin_hash", ""))
+            return {"success": bool(r.success),
+                    "message": getattr(r, "status_message", ""),
+                    "force": f.tolist()}
+
+        def clear_perturb(b):
+            return res(self.apply_body_wrench(
+                b.get("body", ""), force=(0.0, 0.0, 0.0),
+                torque=(0.0, 0.0, 0.0), env_id=b.get("env_id"),
+                admin_hash=b.get("admin_hash", "")))
+
+        def minfo(b):
+            """Model layout for the widget panel: actuators + 1-dof joints
+            with ranges, plus the live ctrl/qpos of one env (the data behind
+            the viewer's joint/control slider sections, viewer.h:284-319)."""
+            m = self.m
+            with self._lock:
+                d1 = self._env_slice(int(b.get("env_id", 0)))
+                ctrl = np.asarray(d1.ctrl, dtype=np.float64).tolist()
+                qpos = np.asarray(d1.qpos, dtype=np.float64).tolist()
+            acts = [{"name": n,
+                     "ctrlrange": np.asarray(m.actuator_ctrlrange[i],
+                                             dtype=np.float64).tolist(),
+                     "limited": bool(m.actuator_ctrllimited[i])}
+                    for i, n in enumerate(m.actuator_names)]
+            joints = [{"name": n, "type": int(m.jnt_type[i]),
+                       "qposadr": int(m.jnt_qposadr[i]),
+                       "range": np.asarray(m.jnt_range[i],
+                                           dtype=np.float64).tolist(),
+                       "limited": bool(m.jnt_limited[i])}
+                      for i, n in enumerate(m.jnt_names)]
+            return {"success": True, "nu": m.nu, "nq": m.nq,
+                    "actuators": acts, "joints": joints,
+                    "bodies": list(m.body_names), "ctrl": ctrl, "qpos": qpos}
+
+        def reload_ep(b):
+            # model upload / reload from the page (drag-drop model load,
+            # viewer.cpp:1520-1525)
+            return res(self.reload(b.get("model", ""),
+                                   admin_hash=b.get("admin_hash", "")))
+
         return dict(pause=pause, step=step, reset=reset, speed=speed,
                     keyframe=keyframe, ctrl=ctrl, qpos=qpos, physics=physics,
-                    wrench=wrench, stats=stats)
+                    wrench=wrench, stats=stats, select=select,
+                    perturb=perturb, clear_perturb=clear_perturb,
+                    minfo=minfo, reload=reload_ep)
 
     def stop_watch(self) -> ServiceResult:
         if self._watch is None:
             return ServiceResult(False, "no watch running")
         self._watch.stop()
         self._watch = None
+        self._watch_meta = None
+        self._pick_cache.clear()
         return ServiceResult(True, "")
 
     def apply_body_wrench(self, name: str, force=(0.0, 0.0, 0.0),

@@ -40,14 +40,23 @@ _PAGE = b"""<!doctype html>
 <style>
  body{margin:0;background:#111;color:#ddd;font:13px system-ui;display:grid;
       grid-template-rows:auto 1fr;height:100vh}
- #bar{padding:6px;display:flex;gap:6px;align-items:center;background:#1b1b1b}
+ #bar{padding:6px;display:flex;gap:6px;align-items:center;background:#1b1b1b;
+      flex-wrap:wrap}
  button{background:#333;color:#ddd;border:1px solid #555;border-radius:3px;
         padding:4px 10px;cursor:pointer}
  button:hover{background:#444}
  input{width:70px;background:#222;color:#ddd;border:1px solid #555}
  #stats{margin-left:auto;font-family:monospace;white-space:pre}
+ #main{display:grid;grid-template-columns:1fr 280px;overflow:hidden}
  #view{display:grid;place-items:center;overflow:hidden}
- img{max-width:100%;max-height:100%}
+ img{max-width:100%;max-height:100%;cursor:crosshair;user-select:none}
+ #panel{overflow-y:auto;background:#181818;padding:8px;font-size:12px}
+ #panel h4{margin:10px 0 4px}
+ .sl{display:grid;grid-template-columns:90px 1fr 44px;gap:4px;
+     align-items:center;margin:2px 0}
+ .sl input[type=range]{width:100%}
+ .sl span{font-family:monospace;overflow:hidden;text-overflow:ellipsis}
+ #sel{color:#8cf;font-family:monospace}
 </style></head>
 <body>
 <div id="bar">
@@ -62,16 +71,28 @@ _PAGE = b"""<!doctype html>
  <button onclick="api('keyframe',{action:'load',key:+document.getElementById('key').value})">load key</button>
  <button onclick="api('keyframe',{action:'save',key:+document.getElementById('key').value})">save key</button>
  <input id="hash" placeholder="admin hash"/>
+ <span id="sel"></span>
  <span id="stats"></span>
 </div>
-<div id="view"><img src="/stream"/></div>
+<div id="main">
+ <div id="view"><img id="im" src="/stream" draggable="false"/></div>
+ <div id="panel">
+  <h4>model</h4>
+  <input type="file" id="mfile" style="width:100%" accept=".xml,.mjcf"/>
+  <button style="width:100%;margin-top:4px" onclick="uploadModel()">
+    upload + reload</button>
+  <h4>controls</h4><div id="acts"></div>
+  <h4>joints</h4><div id="jnts"></div>
+ </div>
+</div>
 <script>
 async function api(name, body){
   body.admin_hash = document.getElementById('hash').value;
   const r = await fetch('/api/'+name, {method:'POST',
     headers:{'Content-Type':'application/json'}, body:JSON.stringify(body)});
   const j = await r.json();
-  if(!j.success) alert(name+': '+(j.message||'failed'));
+  if(!j.success && name!='select') alert(name+': '+(j.message||'failed'));
+  return j;
 }
 async function poll(){
   try{
@@ -83,6 +104,92 @@ async function poll(){
   setTimeout(poll, 1000);
 }
 poll();
+
+/* ---- widget panel (viewer.h joint/control slider sections) ---- */
+function slider(parent, label, lo, hi, val, oninput){
+  const row = document.createElement('div'); row.className='sl';
+  const s = document.createElement('span'); s.textContent = label;
+  const r = document.createElement('input'); r.type='range';
+  r.min=lo; r.max=hi; r.step=(hi-lo)/200 || 0.01; r.value=val;
+  const v = document.createElement('span'); v.textContent=(+val).toFixed(2);
+  r.oninput = () => {v.textContent=(+r.value).toFixed(2); oninput(+r.value);};
+  row.append(s, r, v); parent.append(row); return r;
+}
+let sliders = {a:[], j:[]};
+async function buildPanel(){
+  const mi = await api('minfo', {});
+  if(!mi.success) return;
+  const acts = document.getElementById('acts'); acts.innerHTML='';
+  sliders.a = mi.actuators.map((a,i)=>{
+    const [lo,hi] = a.limited ? a.ctrlrange : [-1,1];
+    return slider(acts, a.name||('act'+i), lo, hi, mi.ctrl[i],
+                  v=>api('ctrl',{index:i, value:v}));
+  });
+  const jn = document.getElementById('jnts'); jn.innerHTML='';
+  sliders.j = [];
+  mi.joints.forEach((j,i)=>{
+    if(j.type!=2 && j.type!=3) return;        // slide=2 / hinge=3 only
+    const [lo,hi] = j.limited ? j.range : [-3.14,3.14];
+    sliders.j.push([j.qposadr,
+      slider(jn, j.name||('jnt'+i), lo, hi, mi.qpos[j.qposadr],
+             v=>api('qpos',{index:j.qposadr, value:v, zero_qvel:true}))]);
+  });
+}
+async function refreshPanel(){
+  try{
+    const mi = await api('minfo', {});
+    if(mi.success){
+      sliders.a.forEach((s,i)=>{ if(document.activeElement!==s){
+        s.value=mi.ctrl[i];
+        s.nextElementSibling.textContent=(+mi.ctrl[i]).toFixed(2);}});
+      sliders.j.forEach(([q,s])=>{ if(document.activeElement!==s){
+        s.value=mi.qpos[q];
+        s.nextElementSibling.textContent=(+mi.qpos[q]).toFixed(2);}});
+    }
+  }catch(e){}
+  setTimeout(refreshPanel, 1500);
+}
+buildPanel(); setTimeout(refreshPanel, 1500);
+
+async function uploadModel(){
+  const f = document.getElementById('mfile').files[0];
+  if(!f) return alert('pick a model file first');
+  const text = await f.text();
+  const r = await api('reload', {model:text});
+  if(r.success) buildPanel();
+}
+
+/* ---- drag perturbation (viewer.cpp:1451-1480 mouse perturbation) ---- */
+const im = document.getElementById('im');
+let drag = null;
+function pix(e){
+  const b = im.getBoundingClientRect();
+  return {x:(e.clientX-b.left)*im.naturalWidth/b.width,
+          y:(e.clientY-b.top)*im.naturalHeight/b.height};
+}
+im.addEventListener('mousedown', async e => {
+  const p = pix(e);
+  const s = await api('select', p);
+  if(s.success && s.body > 0){
+    drag = {body:s.body_name, dist:s.dist, t:0};
+    document.getElementById('sel').textContent = 'grab: '+s.body_name;
+  } else {
+    document.getElementById('sel').textContent = '';
+  }
+});
+im.addEventListener('mousemove', e => {
+  if(!drag) return;
+  const now = Date.now();
+  if(now - drag.t < 60) return;               // ~16 Hz updates
+  drag.t = now;
+  const p = pix(e);
+  api('perturb', {body:drag.body, x:p.x, y:p.y, dist:drag.dist});
+});
+window.addEventListener('mouseup', () => {
+  if(drag){ api('clear_perturb', {body:drag.body}); }
+  drag = null;
+  document.getElementById('sel').textContent = '';
+});
 </script>
 </body></html>
 """
