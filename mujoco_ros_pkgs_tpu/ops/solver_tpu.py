@@ -234,32 +234,21 @@ def _chol_solve(H, g, nv):
     return x
 
 
-def _make_kernel(nv: int, kinds: Tuple[str, ...],
+def newton_tiles(nv: int, kinds: Tuple[str, ...],
                  con_base: Tuple[Tuple[int, int], ...], niter: int, nls: int,
-                 warmstart: bool):
+                 warmstart: bool, tol, J, aref, D, floss, act, mu, M, a_s,
+                 ws):
+    """The whole Newton constraint solve on per-env tiles — shared by the
+    standalone solver kernel below and the whole-step fused kernel
+    (ops/step_tpu.py). All args are (8,128) tiles (or lists/dicts of them):
+    J[r][v], aref/D/floss[r], act[r] bool, mu[c][k], M[(i,j)] lower dict,
+    a_s/ws[v]; tol is a scalar. Returns (x[v] tiles, f[r] row-force tiles)."""
     nefc = len(kinds)
-    ncon = len(con_base)
     con_rows = set()
     for base, dim in con_base:
         con_rows.update(range(base, base + dim))
 
-    def kernel(tol_ref, J_ref, aref_ref, D_ref, floss_ref, act_ref, mu_ref,
-               M_ref, a_s_ref, ws_ref, x_ref, qf_ref, frow_ref):
-        tol = tol_ref[0, 0]
-        # feature-indexed views; each slice is one (8,128) vreg
-        J = [[J_ref[r * nv + v] for v in range(nv)] for r in range(nefc)]
-        aref = [aref_ref[r] for r in range(nefc)]
-        D = [D_ref[r] for r in range(nefc)]
-        floss = [floss_ref[r] for r in range(nefc)]
-        act = [act_ref[r] > 0.5 for r in range(nefc)]
-        mu = [[mu_ref[c * 5 + k] for k in range(5)]
-              for c in range(max(ncon, 1))]
-        M = {}
-        for i in range(nv):
-            for j in range(i + 1):
-                M[(i, j)] = M_ref[i * nv + j]
-        a_s = [a_s_ref[v] for v in range(nv)]
-
+    if True:   # keep the historical indentation of the solve body
         def Mmul(vec):
             out = []
             for i in range(nv):
@@ -292,9 +281,8 @@ def _make_kernel(nv: int, kinds: Tuple[str, ...],
             return 0.5 * quad + sum(cr)
 
         # ---- warmstart selection ----
-        x = [a_s_ref[v] for v in range(nv)]
+        x = list(a_s)
         if warmstart:
-            ws = [ws_ref[v] for v in range(nv)]
             better = cost_at(ws) < cost_at(x)
             x = [jnp.where(better, ws[v], x[v]) for v in range(nv)]
 
@@ -414,7 +402,8 @@ def _make_kernel(nv: int, kinds: Tuple[str, ...],
                 xs = list(carry[:nv])
                 dn = carry[nv] > 0.5
                 xs, dn = newton_body(xs, dn)
-                return tuple(xs) + (jnp.where(dn, 1.0, 0.0),)
+                return tuple(xs) + (jnp.where(dn, 1.0, 0.0)
+                                    .astype(carry[nv].dtype),)
 
             carry = jax.lax.fori_loop(
                 0, niter, body,
@@ -424,8 +413,36 @@ def _make_kernel(nv: int, kinds: Tuple[str, ...],
             for _ in range(niter):
                 x, done = newton_body(x, done)
 
-        # ---- outputs: qacc, qfrc_constraint = J^T f, and the row forces ----
         f, _, _, _ = forces(jar_at(x), False)
+        return x, f
+
+
+def _make_kernel(nv: int, kinds: Tuple[str, ...],
+                 con_base: Tuple[Tuple[int, int], ...], niter: int, nls: int,
+                 warmstart: bool):
+    nefc = len(kinds)
+    ncon = len(con_base)
+
+    def kernel(tol_ref, J_ref, aref_ref, D_ref, floss_ref, act_ref, mu_ref,
+               M_ref, a_s_ref, ws_ref, x_ref, qf_ref, frow_ref):
+        tol = tol_ref[0, 0]
+        # feature-indexed views; each slice is one (8,128) vreg
+        J = [[J_ref[r * nv + v] for v in range(nv)] for r in range(nefc)]
+        aref = [aref_ref[r] for r in range(nefc)]
+        D = [D_ref[r] for r in range(nefc)]
+        floss = [floss_ref[r] for r in range(nefc)]
+        act = [act_ref[r] > 0.5 for r in range(nefc)]
+        mu = [[mu_ref[c * 5 + k] for k in range(5)]
+              for c in range(max(ncon, 1))]
+        M = {}
+        for i in range(nv):
+            for j in range(i + 1):
+                M[(i, j)] = M_ref[i * nv + j]
+        a_s = [a_s_ref[v] for v in range(nv)]
+        ws = [ws_ref[v] for v in range(nv)]
+
+        x, f = newton_tiles(nv, kinds, con_base, niter, nls, warmstart,
+                            tol, J, aref, D, floss, act, mu, M, a_s, ws)
         for r in range(nefc):
             frow_ref[r] = f[r]
         for v in range(nv):
