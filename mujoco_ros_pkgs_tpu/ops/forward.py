@@ -310,6 +310,13 @@ def step(m: Model, d: Data, control_hook: Hook = None,
     Returns (d, hstate) when hstate is given, else d.
     """
     stateful = hstate is not None
+    if (control_hook is None and passive_hook is None and not stateful
+            and d.qpos.dtype == jnp.float32):
+        # whole-step fused kernel for single-free-body models (BOXES-class):
+        # one Pallas program instead of ~600 small env-leading XLA ops
+        from mujoco_ros_pkgs_tpu.ops import step_tpu
+        if step_tpu.available() and step_tpu.supports(m):
+            return step_tpu.step(m, d)
     out = forward(m, d, control_hook, passive_hook, hstate)
     d, hstate = out if stateful else (out, hstate)
     if m.opt.integrator == int(IntegratorType.RK4):
