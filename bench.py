@@ -30,23 +30,11 @@ import numpy as np
 def _enable_compile_cache():
     """Persistent XLA compilation cache across bench runs (VERDICT r4 #4).
 
-    Verified over the axon tunnel: the pile step graph compiles 38s cold,
-    11s on a cache hit (deserialize + ship). The per-config compile_s
-    numbers therefore measure COLD compiles only on the first-ever run on a
-    machine; `extras.compile_cache_entries_before` records how warm the
-    cache was so the numbers can be read honestly. Override dir with
-    MRP_COMPILE_CACHE, disable with MRP_COMPILE_CACHE=0."""
-    import jax
-    cache = os.environ.get(
-        "MRP_COMPILE_CACHE",
-        os.path.expanduser("~/.cache/mujoco_ros_pkgs_tpu/jax_tpu"))
-    if cache == "0":
-        return -1
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    return len(os.listdir(cache))
+    The per-config compile_s numbers measure COLD compiles only on the
+    first-ever run on a machine; `extras.compile_cache_entries_before`
+    records how warm the cache was so the numbers can be read honestly."""
+    from mujoco_ros_pkgs_tpu.utils import backend
+    return backend.enable_compile_cache()
 
 NENV = int(os.environ.get("BENCH_NENV", 4096))
 NSUB = int(os.environ.get("BENCH_NSUB", 50))     # steps per device call

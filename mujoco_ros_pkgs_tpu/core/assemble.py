@@ -73,6 +73,50 @@ def collision_pair_table(geom_type, geom_contype, geom_conaffinity,
     return tuple(ordered), ncon_max
 
 
+def compute_simple_dofs(body_parentid, body_dofnum, body_dofadr, jnt_bodyid,
+                        jnt_type, body_ipos, body_iquat):
+    """Dofs with structurally-diagonal qM rows — libmujoco's dof_simplenum>0
+    (pinned empirically against the oracle): the dofs of an isolated
+    single-joint body (no ancestor dofs, no descendant dofs) whose inertia
+    orientation is identity and, for free/ball joints, whose com sits at the
+    joint frame. Used by the implicit integrators to reproduce the legacy qM
+    sparsity truncation of qDeriv (ops/forward.py `_qderiv_sparsity`)."""
+    from mujoco_ros_pkgs_tpu.core.types import JointType as JT
+
+    nbody = len(body_parentid)
+    ipos = np.asarray(body_ipos, dtype=np.float64)
+    iquat = np.asarray(body_iquat, dtype=np.float64)
+    has_desc_dofs = np.zeros(nbody, dtype=bool)
+    for b in range(nbody - 1, 0, -1):
+        if body_dofnum[b] or has_desc_dofs[b]:
+            has_desc_dofs[body_parentid[b]] = True
+    simple = []
+    for b in range(1, nbody):
+        if not body_dofnum[b] or has_desc_dofs[b]:
+            continue
+        p = body_parentid[b]
+        anc = False
+        while p != 0:
+            if body_dofnum[p]:
+                anc = True
+                break
+            p = body_parentid[p]
+        if anc:
+            continue
+        jids = [j for j in range(len(jnt_bodyid)) if jnt_bodyid[j] == b]
+        if len(jids) != 1:
+            continue
+        jt = jnt_type[jids[0]]
+        if (abs(iquat[b][0] - 1.0) > 1e-12
+                or np.any(np.abs(iquat[b][1:]) > 1e-12)):
+            continue
+        if jt in (int(JT.FREE), int(JT.BALL)) and np.any(
+                np.abs(ipos[b]) > 1e-12):
+            continue
+        simple.extend(range(body_dofadr[b], body_dofadr[b] + body_dofnum[b]))
+    return tuple(simple)
+
+
 def rebuild_pair_table(m: "types.Model") -> "types.Model":
     """Recompute collision_pairs/ncon_max for a Model whose geom types (or
     filter inputs) changed at runtime. Returns an updated Model."""
@@ -787,6 +831,13 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
         tendon_floss_adr=tuple(t for t in range(ntendon)
                                if tendon_frictionloss[t] > 0),
         has_damping=bool(any(jnts[j].damping > 0 for j in dof_jntid)),
+        has_fluid=bool(opt["density"] > 0 or opt["viscosity"] > 0
+                       or np.any(np.asarray(opt["wind"]) != 0)),
+        dof_simple=compute_simple_dofs(
+            tuple(body_parentid), tuple(body_dofnum), tuple(body_dofadr),
+            tuple(j.bodyid for j in jnts), tuple(j.type for j in jnts),
+            np.stack([b.ipos for b in bodies]),
+            np.stack([b.iquat for b in bodies])),
     )
 
     from mujoco_ros_pkgs_tpu.core import constants

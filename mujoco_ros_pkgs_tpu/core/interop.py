@@ -250,6 +250,11 @@ def model_from_mujoco(mm, dtype=None, pair_topk: int = 0,
         tendon_floss_adr=tuple(t for t in range(int(mm.ntendon))
                                if mm.tendon_frictionloss[t] > 0),
         has_damping=bool(np.any(np.asarray(mm.dof_damping) > 0)),
+        has_fluid=bool(float(mm.opt.density) > 0
+                       or float(mm.opt.viscosity) > 0
+                       or np.any(np.asarray(mm.opt.wind) != 0)),
+        dof_simple=tuple(v for v in range(int(mm.nv))
+                         if int(mm.dof_simplenum[v]) > 0),
         pair_exclude=excl, pair_explicit=expl,
         collision_mode="all",
         pair_topk=int(pair_topk),

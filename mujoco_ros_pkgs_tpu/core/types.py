@@ -424,6 +424,12 @@ class Model:
     dof_floss_adr: Tuple[int, ...] = _static(default=())   # dofs with frictionloss>0
     tendon_floss_adr: Tuple[int, ...] = _static(default=())
     has_damping: bool = _static(default=False)
+    # opt.density/viscosity/wind active (legacy inertia-box fluid model);
+    # flipping it via set_physics_properties retraces the step
+    has_fluid: bool = _static(default=False)
+    # dofs with structurally-diagonal qM rows (mujoco's dof_simplenum>0):
+    # compiler output, frozen at load exactly like libmujoco's
+    dof_simple: Tuple[int, ...] = _static(default=())
 
     # ---- precomputed collision pair table (static) ----
     # each entry: (geom1, geom2, ncon_capacity); grouped by (type1, type2) at use site

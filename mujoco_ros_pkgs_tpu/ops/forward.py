@@ -218,15 +218,13 @@ def euler(m: Model, d: Data) -> Data:
     return _advance(m, d, qacc, d.act_dot)
 
 
-def implicitfast(m: Model, d: Data) -> Data:
-    """mj_implicit (fast variant): solve (M - h*dqfrc/dqvel) qacc = qfrc with
-    the velocity-derivative of passive + actuation forces (joint/tendon
-    damping, affine actuator velocity gains). The Coriolis derivative of full
-    implicit is omitted (libmujoco's implicitfast does the same)."""
+def _qderiv_smooth(m: Model, d: Data) -> jax.Array:
+    """d (qfrc_passive + qfrc_actuator) / d qvel — the mjd_smooth_vel terms
+    shared by implicitfast and implicit: joint/tendon damping and affine
+    actuator velocity gains (engine_derivative.c mjd_smooth_vel, minus the
+    RNE term which only full implicit folds in)."""
     from mujoco_ros_pkgs_tpu.core.types import BiasType, DynType, GainType
 
-    h = m.opt.timestep.astype(d.qpos.dtype)
-    dtype = d.qpos.dtype
     qD = -jnp.diag(m.dof_damping)                      # d qfrc_passive / d qvel
     for t in range(m.ntendon):
         qD = qD - m.tendon_damping[t] * jnp.outer(d.ten_J[t], d.ten_J[t])
@@ -253,6 +251,74 @@ def implicitfast(m: Model, d: Data) -> Data:
                           m.actuator_biasprm[:, 2], 0.0)
         dfdv = dgain * inp + dbias                      # (nu,)
         qD = qD + d.actuator_moment.T @ (dfdv[:, None] * d.actuator_moment)
+    if m.has_fluid:
+        # d qfrc_fluid / d qvel (mjd_smooth_vel includes the inertia-box
+        # fluid drag derivative): exact jacfwd through com_vel + the drag law
+        def fluid_of_qvel(qvel):
+            dd = d.replace(qvel=qvel)
+            dd = smooth.com_vel(m, dd)
+            return smooth._fluid_qfrc(m, dd)
+        qD = qD + jax.jacfwd(fluid_of_qvel)(d.qvel)
+    return qD
+
+
+@functools.lru_cache(maxsize=128)
+def _qderiv_sparsity_meta(body_parentid, body_dofnum, body_dofadr,
+                          dof_simple, nv, simple_truncate):
+    """Structural mask of libmujoco's sparse qDeriv storage (empirically
+    pinned against the oracle's D_rownnz/D_colind + dof_simplenum):
+
+    - entries exist only for tree-ancestor dof pairs (so e.g. a cross-tree
+      fixed-tendon damping derivative is DROPPED, verified against 3.x);
+    - implicitfast additionally stores MhB in the legacy qM sparsity, where
+      'simple' dofs (Model.dof_simple — compiler output, see
+      core/assemble.py compute_simple_dofs) keep only their diagonal: this
+      is what drops the world-frame off-diagonals of the fluid drag
+      derivative for tumbling free bodies;
+    - full implicit's qLU uses the D sparsity: ancestor pairs, no simple
+      truncation.
+
+    All inputs are static Model metadata — safe under jit with a traced
+    Model (the server passes m as a jit argument).
+    """
+    nbody = len(body_parentid)
+    amask = np.zeros((nv, nv), dtype=bool)
+    body_dofs = [list(range(body_dofadr[b], body_dofadr[b] + body_dofnum[b]))
+                 for b in range(nbody)]
+    for b in range(nbody):
+        chain_dofs = []
+        p = b
+        while p != 0:
+            chain_dofs = body_dofs[p] + chain_dofs
+            p = body_parentid[p]
+        for x, i in enumerate(chain_dofs):
+            for j in chain_dofs[:x + 1]:
+                amask[i, j] = True
+    mask = amask | amask.T
+    if simple_truncate and dof_simple:
+        simple = np.zeros(nv, dtype=bool)
+        simple[list(dof_simple)] = True
+        offdiag = ~np.eye(nv, dtype=bool)
+        mask = mask & ~(offdiag & (simple[:, None] | simple[None, :]))
+    return mask
+
+
+def _qderiv_sparsity(m: Model, simple_truncate: bool) -> np.ndarray:
+    return _qderiv_sparsity_meta(
+        m.body_parentid, m.body_dofnum, m.body_dofadr, m.dof_simple,
+        m.nv, simple_truncate)
+
+
+def implicitfast(m: Model, d: Data) -> Data:
+    """mj_implicit (fast variant): solve (M - h*dqfrc/dqvel) qacc = qfrc with
+    the velocity-derivative of passive + actuation forces (joint/tendon
+    damping, affine actuator velocity gains). The Coriolis derivative of full
+    implicit is omitted and the matrix symmetrized + Cholesky-factorized
+    (libmujoco's implicitfast does the same)."""
+    h = m.opt.timestep.astype(d.qpos.dtype)
+    qD = _qderiv_smooth(m, d)
+    qD = qD * jnp.asarray(_qderiv_sparsity(m, simple_truncate=True),
+                          dtype=d.qpos.dtype)
     A = d.qM - h * qD
     A = 0.5 * (A + A.T)                                 # symmetrize
     qfrc = d.qfrc_smooth + d.qfrc_constraint
@@ -261,8 +327,34 @@ def implicitfast(m: Model, d: Data) -> Data:
     return _advance(m, d, qacc, d.act_dot)
 
 
-# one-shot process-level warning registry for integrator aliasing
-_INTEGRATOR_WARNED: set = set()
+def implicit(m: Model, d: Data) -> Data:
+    """mj_implicit (full): additionally folds the Coriolis/centrifugal
+    velocity derivative d qfrc_bias / d qvel into the implicit matrix and
+    LU-solves the (non-symmetric) system, matching engine_forward.c
+    mj_implicit + engine_derivative.c mjd_rne_vel.
+
+    TPU-first: libmujoco hand-derives the RNE derivative; here it is exact
+    forward-mode autodiff through the com_vel + rne level-order sweeps —
+    qfrc_bias is quadratic in qvel, so jacfwd is exact to machine precision,
+    and under vmap the nv tangent passes batch onto the MXU."""
+    h = m.opt.timestep.astype(d.qpos.dtype)
+    qD = _qderiv_smooth(m, d)
+
+    def bias_of_qvel(qvel):
+        dd = d.replace(qvel=qvel)
+        dd = smooth.com_vel(m, dd)
+        dd = smooth.rne(m, dd)
+        return dd.qfrc_bias
+
+    dbias = jax.jacfwd(bias_of_qvel)(d.qvel)            # (nv, nv)
+    # qfrc_smooth = passive + actuator + applied - bias  =>  subtract dbias;
+    # qLU's D sparsity keeps ancestor pairs only (no simple truncation)
+    A = d.qM - h * ((qD - dbias) * jnp.asarray(
+        _qderiv_sparsity(m, simple_truncate=False), dtype=d.qpos.dtype))
+    qfrc = d.qfrc_smooth + d.qfrc_constraint
+    qacc = jnp.linalg.solve(A, qfrc)                    # general LU, as mujoco
+    return _advance(m, d, qacc, d.act_dot)
+
 
 _RK4_A = np.array([[0.5, 0, 0], [0, 0.5, 0], [0, 0, 1.0]])
 _RK4_B = np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6])
@@ -322,19 +414,9 @@ def step(m: Model, d: Data, control_hook: Hook = None,
     if m.opt.integrator == int(IntegratorType.RK4):
         return rk4(m, d, control_hook, passive_hook, hstate)
     d = d.replace(qacc_warmstart=d.qacc)
-    if m.opt.integrator in (int(IntegratorType.IMPLICIT),
-                            int(IntegratorType.IMPLICITFAST)):
-        if (m.opt.integrator == int(IntegratorType.IMPLICIT)
-                and "implicit" not in _INTEGRATOR_WARNED):
-            _INTEGRATOR_WARNED.add("implicit")
-            import warnings
-            warnings.warn(
-                "integrator='implicit' is treated as 'implicitfast': the "
-                "Coriolis/centrifugal velocity derivative (d RNE / d qvel) "
-                "that full implicit additionally folds into the implicit "
-                "matrix is not implemented. Trajectories match implicitfast, "
-                "not libmujoco's implicit, on models where Coriolis damping "
-                "matters (fast rotations).", stacklevel=2)
+    if m.opt.integrator == int(IntegratorType.IMPLICIT):
+        d = implicit(m, d)
+    elif m.opt.integrator == int(IntegratorType.IMPLICITFAST):
         d = implicitfast(m, d)
     else:
         d = euler(m, d)

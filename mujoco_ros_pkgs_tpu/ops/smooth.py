@@ -743,7 +743,60 @@ def passive(m: Model, d: Data) -> Data:
                           jnp.where(L < low, low - L, 0.0))
         frc = m.tendon_stiffness * displ - m.tendon_damping * d.ten_velocity
         qfrc = qfrc + d.ten_J.T @ frc
+    if m.has_fluid:
+        qfrc = qfrc + _fluid_qfrc(m, d)
     return d.replace(qfrc_passive=qfrc)
+
+
+def _fluid_qfrc(m: Model, d: Data) -> jax.Array:
+    """Legacy inertia-box fluid model (engine_passive.c
+    mj_inertiaBoxFluidModel): per-body viscous (Stokes, sphere of the mean
+    box diameter) + quadratic-drag forces from opt.density / opt.viscosity /
+    opt.wind, computed in the body inertia frame and applied at the body com.
+    Fully vectorized over bodies; gated by the static m.has_fluid flag."""
+    dtype = d.qpos.dtype
+    mass = jnp.maximum(m.body_mass, mmath.MINVAL).astype(dtype)
+    I = m.body_inertia.astype(dtype)                       # (nbody, 3)
+    # equivalent inertia-box half-sizes: Ij + Ik - Ii = (2/3) m box_i^2
+    Isum = jnp.sum(I, axis=1, keepdims=True)
+    box = jnp.sqrt(jnp.maximum(Isum - 2 * I, mmath.MINVAL)
+                   / mass[:, None] * 6.0) / 2.0            # (nbody, 3)
+
+    # body com 6D velocity in the inertia (ximat) frame, wind-relative
+    rootid = np.array(m.body_rootid, dtype=np.int32)
+    ref = d.subtree_com[rootid]
+    ang_w = d.cvel[:, :3]
+    lin_w = d.cvel[:, 3:] + jnp.cross(ang_w, d.xipos - ref)
+    # rotate world -> local (ximat columns are local axes): v_l = R^T v_w
+    ang = jnp.einsum("bij,bi->bj", d.ximat, ang_w)
+    lin = jnp.einsum("bij,bi->bj", d.ximat,
+                     lin_w - m.opt.wind.astype(dtype)[None, :])
+
+    lfrc_ang = jnp.zeros_like(ang)
+    lfrc_lin = jnp.zeros_like(lin)
+    viscosity = m.opt.viscosity.astype(dtype)
+    density = m.opt.density.astype(dtype)
+    # viscous resistance: equivalent sphere of the mean box diameter
+    diam = jnp.mean(box, axis=1) * 2.0                     # (nbody,)
+    pi = jnp.asarray(np.pi, dtype=dtype)
+    lfrc_ang = lfrc_ang - pi * diam[:, None] ** 3 * viscosity * ang
+    lfrc_lin = lfrc_lin - 3.0 * pi * diam[:, None] * viscosity * lin
+    # quadratic drag: projected face areas / plate integrals of the box
+    b0, b1, b2 = box[:, 0], box[:, 1], box[:, 2]
+    area = jnp.stack([b1 * b2, b0 * b2, b0 * b1], axis=1)  # faces seen by v_i
+    lfrc_lin = lfrc_lin - 2.0 * density * area * jnp.abs(lin) * lin
+    plate = jnp.stack([b0 * (b1 ** 4 + b2 ** 4),
+                       b1 * (b0 ** 4 + b2 ** 4),
+                       b2 * (b0 ** 4 + b1 ** 4)], axis=1)
+    lfrc_ang = lfrc_ang - 0.5 * density * plate * jnp.abs(ang) * ang
+
+    # rotate back to world, apply at body com; world body (mass ~0) excluded
+    frc_w = jnp.einsum("bij,bj->bi", d.ximat, lfrc_lin)
+    trq_w = jnp.einsum("bij,bj->bi", d.ximat, lfrc_ang)
+    live = jnp.asarray(
+        np.arange(m.nbody) > 0, dtype=dtype)[:, None]
+    xfrc = jnp.concatenate([frc_w, trq_w], axis=1) * live  # (nbody, 6)
+    return body_frc_accumulate(m, d, xfrc)
 
 
 @functools.lru_cache(maxsize=128)
@@ -828,8 +881,9 @@ def actuation(m: Model, d: Data) -> Data:
     return d.replace(actuator_force=force, qfrc_actuator=qfrc, act_dot=act_dot)
 
 
-def xfrc_accumulate(m: Model, d: Data) -> jax.Array:
-    """Map xfrc_applied ([force(3), torque(3)] at body com, world) to qfrc."""
+def body_frc_accumulate(m: Model, d: Data, xfrc: jax.Array) -> jax.Array:
+    """Map per-body [force(3), torque(3)] at body com (world frame) to qfrc
+    (mj_applyFT at xipos for every body, as one J^T contraction)."""
     dtype = d.qpos.dtype
     if m.nv == 0:
         return jnp.zeros(0, dtype=dtype)
@@ -841,10 +895,15 @@ def xfrc_accumulate(m: Model, d: Data) -> jax.Array:
         vec = jnp.concatenate([torque, force])
         return mmath.transform_force(vec, refb, xipos)
 
-    fs = jax.vmap(to_spatial)(d.xfrc_applied, d.xipos, ref)  # (nbody, 6)
+    fs = jax.vmap(to_spatial)(xfrc, d.xipos, ref)            # (nbody, 6)
     mask = jnp.asarray(body_dof_mask(m), dtype=dtype)        # (nv, nbody)
     contrib = d.cdof @ fs.T                                  # (nv, nbody)
     return jnp.sum(contrib * mask, axis=1)
+
+
+def xfrc_accumulate(m: Model, d: Data) -> jax.Array:
+    """Map xfrc_applied ([force(3), torque(3)] at body com, world) to qfrc."""
+    return body_frc_accumulate(m, d, d.xfrc_applied)
 
 
 # ---------------------------------------------------------------------------

@@ -73,6 +73,8 @@ def supports(m: Model) -> bool:
             return False
         if m.opt.integrator != int(IntegratorType.EULER):
             return False
+        if m.has_fluid:    # inertia-box fluid forces run the general path
+            return False
         if int(m.opt.cone) == 0:   # pyramidal keeps the general path
             return False
         if int(m.opt.solver) != 2:   # Newton only

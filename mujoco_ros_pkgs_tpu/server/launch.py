@@ -151,6 +151,7 @@ def main(argv=None) -> int:
         log_mod.configure(default_level="INFO")
     else:
         log_mod.configure()
+    backend.enable_compile_cache()
     backend.ensure_cpu_backend()
     import jax.numpy as jnp
     from mujoco_ros_pkgs_tpu.server import MujocoServer
@@ -219,16 +220,19 @@ def main(argv=None) -> int:
               file=sys.stderr)
 
     srv.start_physics_loop()
-    if args.verbose:
-        while not stop["flag"] and srv.num_steps_until_exit != 0:
-            time.sleep(1.0)
+    period = 1.0 if args.verbose else 0.2
+    while (not stop["flag"] and srv.num_steps_until_exit != 0
+           and srv.physics_error is None):
+        time.sleep(period)
+        if args.verbose:
             print(f"sim_time={srv.sim_time:.3f}s "
                   f"slowdown={srv.measured_slowdown:.2f}x "
                   f"paused={srv.paused}", file=sys.stderr)
-    else:
-        while not stop["flag"] and srv.num_steps_until_exit != 0:
-            time.sleep(0.2)
     srv.stop_physics_loop()
+    if srv.physics_error is not None:
+        print(f"FATAL: physics loop died: {srv.physics_error!r}",
+              file=sys.stderr)
+        return 1
     if args.profile_dir:
         import jax
         jax.profiler.stop_trace()

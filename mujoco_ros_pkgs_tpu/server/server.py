@@ -139,6 +139,9 @@ class MujocoServer:
         self._exit_request = False
         self._lock = threading.RLock()
         self._physics_thread: Optional[threading.Thread] = None
+        # set when the stepping thread dies on an exception (failure
+        # detection: launch exits nonzero instead of hanging at sim_time=0)
+        self.physics_error: Optional[BaseException] = None
         self._clock_subs: List[Callable[[float], None]] = []
         self._init_js = dict(initial_joint_states or {})
         self._init_jv = dict(initial_joint_velocities or {})
@@ -684,6 +687,18 @@ class MujocoServer:
         self._physics_thread.start()
 
     def _physics_loop(self):
+        """physicsLoop wrapper: a crash in the stepping thread must not leave
+        a zombie server silently reporting sim_time forever — record the
+        error (surfaced via `physics_error` / launch exit code) and stop.
+        (The reference's physics thread aborts the process via the unhandled
+        C++ exception; here the control plane stays up for diagnosis.)"""
+        try:
+            self._physics_loop_inner()
+        except Exception as exc:   # noqa: BLE001 — any step failure
+            self.physics_error = exc
+            self._log.error("physics loop died: %r", exc, exc_info=True)
+
+    def _physics_loop_inner(self):
         """physicsLoop (mujoco_env.cpp:436-639): pace sim time against the
         wall clock at realtime_factor; unbound (-1) steps as fast as possible."""
         dt = float(np.asarray(self.m.opt.timestep))
@@ -1144,6 +1159,13 @@ class MujocoServer:
             except (KeyError, ValueError) as exc:
                 return ServiceResult(False, f"bad option value: {exc}")
             newm = self.m.replace(opt=o.replace(**upd))
+            if {"density", "viscosity", "wind"} & set(upd):
+                # fluid-ness is a static branch of passive(); flipping it
+                # retraces the step on next use (documented above)
+                newm = newm.replace(has_fluid=bool(
+                    float(np.asarray(newm.opt.density)) > 0
+                    or float(np.asarray(newm.opt.viscosity)) > 0
+                    or np.any(np.asarray(newm.opt.wind) != 0)))
             if int(newm.opt.cone) != int(old_cone):
                 # efc row structure changes with the cone type: rebuild the
                 # contact-force buffer exactly like the set_geom_properties

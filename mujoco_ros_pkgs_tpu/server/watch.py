@@ -13,7 +13,9 @@ surfaces are HTTP instead:
   ctrl/qpos live edit, physics properties, body wrench) — the headless
   equivalent of the viewer's interactive Sync. The admin hash rides in the
   JSON body (`admin_hash`) and is enforced by the services themselves;
-- `GET /api/stats`: solver/realtime diagnostics JSON (the profiler figures).
+- `GET /api/stats`: solver/realtime diagnostics JSON, rendered client-side
+  as profiler time-series figures (the viewer's figtimer/figconstraint
+  panels, viewer.h:267-271).
 
 Rendering and control run in HTTP threads, never blocking the physics loop
 (services take the physics lock exactly like any other control-plane call).
@@ -83,6 +85,9 @@ _PAGE = b"""<!doctype html>
     upload + reload</button>
   <h4>controls</h4><div id="acts"></div>
   <h4>joints</h4><div id="jnts"></div>
+  <h4>profiler</h4>
+  <canvas id="prof_rt" width="264" height="70"></canvas>
+  <canvas id="prof_solver" width="264" height="70"></canvas>
  </div>
 </div>
 <script>
@@ -94,12 +99,41 @@ async function api(name, body){
   if(!j.success && name!='select') alert(name+': '+(j.message||'failed'));
   return j;
 }
+/* profiler figures (viewer.h:267-271 figtimer/figconstraint, as canvas
+   time-series fed by /api/stats) */
+const hist = [];                               // ring buffer of stats rows
+function drawFig(id, series, colors){
+  const c = document.getElementById(id), g = c.getContext('2d');
+  g.fillStyle = '#141414'; g.fillRect(0, 0, c.width, c.height);
+  g.font = '9px monospace';
+  series.forEach(([label, vals], k) => {
+    if(!vals.length) return;
+    const mx = Math.max(...vals, 1e-9), mn = Math.min(...vals, 0);
+    g.strokeStyle = colors[k]; g.beginPath();
+    vals.forEach((v, i) => {
+      const x = i * c.width / 120;
+      const y = c.height - 10 - (v - mn) / (mx - mn || 1) * (c.height - 22);
+      i ? g.lineTo(x, y) : g.moveTo(x, y);
+    });
+    g.stroke();
+    g.fillStyle = colors[k];
+    g.fillText(`${label}=${(+vals[vals.length-1]).toPrecision(3)}`,
+               4 + k * 88, 9);
+  });
+}
+function col(key){ return hist.map(h => +h[key] || 0); }
 async function poll(){
   try{
     const r = await fetch('/api/stats'); const s = await r.json();
     document.getElementById('stats').textContent =
       `t=${(+s.sim_time).toFixed(2)}s rt=${(+s.measured_slowdown).toFixed(2)}x `+
       `ncon=${s.ncon_active} it=${s.solver_iterations_realized}`;
+    hist.push(s); if(hist.length > 120) hist.shift();
+    drawFig('prof_rt', [['rt', col('measured_slowdown')],
+                        ['t', col('sim_time')]], ['#8cf', '#888']);
+    drawFig('prof_solver', [['ncon', col('ncon_active')],
+                            ['iters', col('solver_iterations_realized')]],
+            ['#fc8', '#8f8']);
   }catch(e){}
   setTimeout(poll, 1000);
 }

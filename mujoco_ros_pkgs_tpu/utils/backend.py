@@ -15,6 +15,30 @@ import contextlib
 import os
 
 
+def enable_compile_cache() -> int:
+    """Persistent XLA compilation cache shared by every entry point (server
+    CLI, bench, tests): a previously-compiled step graph deserializes in
+    seconds instead of recompiling for minutes (measured over the axon
+    tunnel: 38s cold vs 11s hit for the PILE step). Returns the number of
+    pre-existing cache entries, or -1 when disabled. Override the directory
+    with MRP_COMPILE_CACHE, disable with MRP_COMPILE_CACHE=0."""
+    import jax
+
+    cache = os.environ.get(
+        "MRP_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/mujoco_ros_pkgs_tpu/jax_tpu"))
+    if cache == "0":
+        return -1
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return len(os.listdir(cache))
+    except (OSError, AttributeError):
+        return -1
+
+
 def ensure_cpu_backend() -> None:
     """If JAX_PLATFORMS pins an accelerator, append ',cpu' so the host backend
     stays registered. Call before the first backend-initializing jax call."""

@@ -125,6 +125,20 @@ def test_stats_endpoint(watched):
     assert "physics" in st and "gravity" in st["physics"]
 
 
+def test_page_renders_profiler_figures(watched):
+    """The control page carries the profiler time-series canvases (the
+    viewer's figtimer/figconstraint panels, viewer.h:267-271) wired to the
+    same stats fields /api/stats serves."""
+    import urllib.request
+    s, port = watched
+    html = urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/", timeout=10).read().decode()
+    assert 'id="prof_rt"' in html and 'id="prof_solver"' in html
+    for field in ("measured_slowdown", "ncon_active",
+                  "solver_iterations_realized"):
+        assert field in html
+
+
 def test_unknown_endpoint_and_bad_json(watched):
     s, port = watched
     try:
