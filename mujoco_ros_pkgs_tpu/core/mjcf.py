@@ -796,6 +796,15 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
                   "ellipsoid": 4, "cylinder": 5, "box": 6, "mesh": 7}[
             _attr_s(e, "type", "sphere")]
         g.bodyid = bodyid
+        if _attr_s(e, "fluidshape", "none") != "none":
+            # the geom-level ellipsoid fluid-interaction model (added-mass +
+            # Kutta/Magnus lift) is not implemented; only the default
+            # body-level inertia-box model is (ops/smooth.py _fluid_qfrc).
+            # Fail loudly rather than silently simulating different physics.
+            raise ValueError(
+                f"geom '{e.get('name', '')}': fluidshape="
+                f"'{_attr_s(e, 'fluidshape', '')}' is not supported (only "
+                f"the default body-level inertia-box fluid model is)")
         g.contype = int(_attr_s(e, "contype", "1"))
         g.conaffinity = int(_attr_s(e, "conaffinity", "1"))
         g.condim = int(_attr_s(e, "condim", "3"))

@@ -97,6 +97,18 @@ WIND_XML = """<mujoco>
 <geom type="sphere" size="0.05" mass="0.01"/></body></worldbody></mujoco>"""
 
 
+def test_fluidshape_ellipsoid_rejected():
+    """The geom-level ellipsoid fluid model is unimplemented: loading must
+    fail loudly, not silently run different physics."""
+    import pytest
+    xml = """<mujoco><option density="1.2"/><worldbody>
+    <body pos="0 0 1"><freejoint/>
+    <geom type="sphere" size="0.1" fluidshape="ellipsoid"/></body>
+    </worldbody></mujoco>"""
+    with pytest.raises(ValueError, match="fluidshape"):
+        mrt.load_model_from_string(xml)
+
+
 def test_wind_pushes_light_body():
     """Behavioral: a light ballistic sphere in a 3 m/s wind gains downwind
     velocity (and matches the oracle trajectory)."""
