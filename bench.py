@@ -368,8 +368,10 @@ def bench_scaling_cpu():
     # probe (restoring whatever the user had set, including unset)
     prev_pallas = os.environ.get("MRP_PALLAS_SOLVER")
     prev_linalg = os.environ.get("MRP_PALLAS_LINALG")
+    prev_fusion = os.environ.get("MRP_STEP_FUSION")
     os.environ["MRP_PALLAS_SOLVER"] = "0"
     os.environ["MRP_PALLAS_LINALG"] = "0"
+    os.environ["MRP_STEP_FUSION"] = "0"   # whole-step kernel is TPU-only too
     nenv, nsub, rounds = 4096, 20, 3
 
     with jax.default_device(cpus[0]):
@@ -428,6 +430,10 @@ def bench_scaling_cpu():
             os.environ.pop("MRP_PALLAS_LINALG", None)
         else:
             os.environ["MRP_PALLAS_LINALG"] = prev_linalg
+        if prev_fusion is None:
+            os.environ.pop("MRP_STEP_FUSION", None)
+        else:
+            os.environ["MRP_STEP_FUSION"] = prev_fusion
     return dict(cpu_1dev=round(r1, 1), cpu_2dev_shardmap=round(r2, 1),
                 cpu_2dev_independent=round(rind, 1),
                 shardmap_overhead_ratio=round(r2 / r1, 3),
