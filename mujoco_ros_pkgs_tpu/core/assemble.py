@@ -752,6 +752,11 @@ def _assemble(root, comp, defaults_tree, bodies, jnts, geoms, sites, cams,
         geom_margin=J(np.array([g.margin for g in geoms])),
         geom_gap=J(np.array([g.gap for g in geoms])),
         geom_dataid=tuple(getattr(g, "meshid", -1) for g in geoms),
+        geom_fluid=J(np.stack([getattr(g, "fluid", np.zeros(12))
+                               for g in geoms])
+                     if ngeom else np.zeros((0, 12))),
+        geom_fluid_active=tuple(
+            int(getattr(g, "fluid", np.zeros(12))[0] > 0) for g in geoms),
         nmesh=len(mesh_list),
         mesh_vertnum=tuple(mv.verts.shape[0] for mv in mesh_list),
         mesh_names=tuple(mv.name for mv in mesh_list),

@@ -161,6 +161,9 @@ def model_from_mujoco(mm, dtype=None, pair_topk: int = 0,
         geom_solref=J(mm.geom_solref), geom_solimp=J(mm.geom_solimp),
         geom_margin=J(mm.geom_margin), geom_gap=J(mm.geom_gap),
         geom_dataid=_itup(mm.geom_dataid), geom_rgba=J(mm.geom_rgba),
+        geom_fluid=J(mm.geom_fluid.reshape(-1, 12)),
+        geom_fluid_active=tuple(
+            int(v > 0) for v in mm.geom_fluid.reshape(-1, 12)[:, 0]),
         mesh_vertnum=_itup(mm.mesh_vertnum) if nmesh else (),
         mesh_names=_names(mm, OBJ.mjOBJ_MESH, nmesh),
         mesh_vert=mesh_vert,

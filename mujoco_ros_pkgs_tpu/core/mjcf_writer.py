@@ -164,6 +164,9 @@ def model_to_xml(m: "types.Model") -> str:
             solmix=_f(m.geom_solmix[gi]), solref=_vec(m.geom_solref[gi]),
             solimp=_vec(m.geom_solimp[gi]), margin=_f(m.geom_margin[gi]),
             gap=_f(m.geom_gap[gi]), rgba=_vec(m.geom_rgba[gi]))
+        if m.geom_fluid_active and m.geom_fluid_active[gi]:
+            attrs["fluidshape"] = "ellipsoid"
+            attrs["fluidcoef"] = _vec(m.geom_fluid[gi][1:6])
         pos = A(m.geom_pos[gi])
         quat = A(m.geom_quat[gi])
         size = A(m.geom_size[gi])

@@ -306,6 +306,12 @@ class Model:
     geom_margin: jax.Array = None    # (ngeom,)
     geom_gap: jax.Array = None       # (ngeom,)
     geom_dataid: Tuple[int, ...] = _static(default=())  # mesh id or -1
+    # ellipsoid fluid-interaction model (mjNFLUID=12 per geom: active flag,
+    # blunt/slender/angular drag, kutta/magnus lift, virtual mass (3),
+    # virtual inertia (3)); geom_fluid_active mirrors column 0 statically
+    # so the passive-force pipeline can gate the model at trace time
+    geom_fluid: jax.Array = None     # (ngeom, 12)
+    geom_fluid_active: Tuple[int, ...] = _static(default=())
 
     # ---- meshes (convex hulls; support fn = argmax verts @ dir, ops/gjk.py) ----
     nmesh: int = _static(default=0)

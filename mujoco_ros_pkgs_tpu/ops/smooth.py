@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from mujoco_ros_pkgs_tpu.core.types import (
-    Data, DisableBit, DynType, GainType, BiasType, JointType, Model, TrnType,
+    Data, DisableBit, DynType, GainType, BiasType, GeomType, JointType,
+    Model, TrnType,
 )
 from mujoco_ros_pkgs_tpu.ops import math as mmath
 
@@ -749,12 +750,19 @@ def passive(m: Model, d: Data) -> Data:
 
 
 def _fluid_qfrc(m: Model, d: Data) -> jax.Array:
-    """Legacy inertia-box fluid model (engine_passive.c
-    mj_inertiaBoxFluidModel): per-body viscous (Stokes, sphere of the mean
-    box diameter) + quadratic-drag forces from opt.density / opt.viscosity /
-    opt.wind, computed in the body inertia frame and applied at the body com.
-    Fully vectorized over bodies; gated by the static m.has_fluid flag."""
+    """Fluid forces from opt.density / opt.viscosity / opt.wind
+    (engine_passive.c mj_inertiaBoxFluidModel + mj_ellipsoidFluidModel):
+    bodies whose geoms opt into fluidshape="ellipsoid" get the per-geom
+    equivalent-ellipsoid model (added mass, Kutta/Magnus lift, anisotropic
+    drag); all other bodies get the legacy inertia-box model. Fully
+    vectorized; gated by the static m.has_fluid flag."""
     dtype = d.qpos.dtype
+    # static split: a body with >=1 fluid-active geom uses the ellipsoid
+    # model for ALL its geoms and is excluded from the inertia-box path
+    ell_body = np.zeros(m.nbody, dtype=bool)
+    for g, a in enumerate(m.geom_fluid_active):
+        if a:
+            ell_body[m.geom_bodyid[g]] = True
     mass = jnp.maximum(m.body_mass, mmath.MINVAL).astype(dtype)
     I = m.body_inertia.astype(dtype)                       # (nbody, 3)
     # equivalent inertia-box half-sizes: Ij + Ik - Ii = (2/3) m box_i^2
@@ -790,13 +798,118 @@ def _fluid_qfrc(m: Model, d: Data) -> jax.Array:
                        b2 * (b0 ** 4 + b1 ** 4)], axis=1)
     lfrc_ang = lfrc_ang - 0.5 * density * plate * jnp.abs(ang) * ang
 
-    # rotate back to world, apply at body com; world body (mass ~0) excluded
+    # rotate back to world, apply at body com; world body and ellipsoid-
+    # model bodies excluded (mj_passive skips massless bodies too)
     frc_w = jnp.einsum("bij,bj->bi", d.ximat, lfrc_lin)
     trq_w = jnp.einsum("bij,bj->bi", d.ximat, lfrc_ang)
-    live = jnp.asarray(
-        np.arange(m.nbody) > 0, dtype=dtype)[:, None]
+    live = jnp.asarray((np.arange(m.nbody) > 0) & ~ell_body,
+                       dtype=dtype)[:, None]
     xfrc = jnp.concatenate([frc_w, trq_w], axis=1) * live  # (nbody, 6)
+    if ell_body.any():
+        xfrc = xfrc + _fluid_ellipsoid_xfrc(m, d)
     return body_frc_accumulate(m, d, xfrc)
+
+
+def _fluid_ellipsoid_xfrc(m: Model, d: Data) -> jax.Array:
+    """Per-geom equivalent-ellipsoid fluid forces (engine_passive.c
+    mj_ellipsoidFluidModel / mj_addedMassForces / mj_viscousForces),
+    vectorized over the statically-known fluid-active geoms and returned as
+    per-body [force(3), torque(3)] at the body com (world frame), the
+    layout body_frc_accumulate consumes. The 12 packed coefficients come
+    from load time (core/mjcf.py _fluid_ellipsoid_coefs)."""
+    dtype = d.qpos.dtype
+    act = np.array([g for g, a in enumerate(m.geom_fluid_active) if a],
+                   dtype=np.int32)
+    bidx = np.array([m.geom_bodyid[g] for g in act], dtype=np.int32)
+    rootid = np.array(m.body_rootid, dtype=np.int32)[bidx]
+
+    # equivalent-ellipsoid semiaxes (runtime readGeomSemiAxes convention)
+    sem = []
+    for g in act:
+        s = m.geom_size[int(g)].astype(dtype)
+        t = m.geom_type[int(g)]
+        if t == int(GeomType.SPHERE):
+            sem.append(jnp.stack([s[0], s[0], s[0]]))
+        elif t == int(GeomType.CAPSULE):
+            sem.append(jnp.stack([s[0], s[0], s[1] + s[0]]))
+        elif t == int(GeomType.CYLINDER):
+            sem.append(jnp.stack([s[0], s[0], s[1]]))
+        else:
+            sem.append(s)
+    semi = jnp.stack(sem)                                  # (na, 3)
+    gf = m.geom_fluid[act].astype(dtype)                   # (na, 12)
+    blunt, slender, angd = gf[:, 1], gf[:, 2], gf[:, 3]
+    kutta, magnus = gf[:, 4], gf[:, 5]
+    vmass, vinertia = gf[:, 6:9], gf[:, 9:12]
+
+    # geom-frame 6D velocity of the geom origin, wind-relative
+    ref = d.subtree_com[rootid]
+    R = d.geom_xmat[act]                                   # (na, 3, 3)
+    p = d.geom_xpos[act]
+    ang_w = d.cvel[bidx, :3]
+    lin_w = d.cvel[bidx, 3:] + jnp.cross(ang_w, p - ref)
+    ang = jnp.einsum("gij,gi->gj", R, ang_w)
+    lin = jnp.einsum("gij,gi->gj", R,
+                     lin_w - m.opt.wind.astype(dtype)[None, :])
+
+    density = m.opt.density.astype(dtype)
+    viscosity = m.opt.viscosity.astype(dtype)
+    pi = jnp.asarray(np.pi, dtype=dtype)
+
+    # added-mass forces: gyroscopic coupling of the virtual momenta
+    plin = density * vmass * lin
+    pang = density * vinertia * ang
+    f_l = jnp.cross(plin, ang)
+    t_l = jnp.cross(plin, lin) + jnp.cross(pang, ang)
+
+    # viscous + lift forces
+    vol = 4.0 / 3.0 * pi * jnp.prod(semi, axis=1)
+    d_max = jnp.max(semi, axis=1)
+    d_min = jnp.min(semi, axis=1)
+    d_mid = jnp.sum(semi, axis=1) - d_max - d_min
+    a_max = pi * d_max * d_mid
+    magnus_f = jnp.cross(ang, lin) * (magnus * density * vol)[:, None]
+    s12 = semi[:, 1] * semi[:, 2]
+    s20 = semi[:, 2] * semi[:, 0]
+    s01 = semi[:, 0] * semi[:, 1]
+    faces = jnp.stack([s12, s20, s01], axis=1)             # (na, 3)
+    proj_denom = jnp.sum(faces ** 4 * lin ** 2, axis=1)
+    proj_num = jnp.sum(faces ** 2 * lin ** 2, axis=1)
+    # grad-safe sqrt: ratio is 0 only at lin == 0, where the force is 0
+    ratio = proj_denom / jnp.maximum(proj_num, mmath.MINVAL)
+    a_proj = pi * jnp.sqrt(jnp.maximum(ratio, mmath.MINVAL ** 2))
+    norm_v = faces ** 2 * lin                              # unnormalized
+    lin_norm = mmath.norm_safe(lin, axis=1)
+    cos_alpha = proj_num / jnp.maximum(lin_norm * proj_denom, mmath.MINVAL)
+    kutta_circ = jnp.cross(norm_v, lin) \
+        * (kutta * density * cos_alpha * a_proj)[:, None]
+    kutta_f = jnp.cross(kutta_circ, lin)
+    # Stokes-flow (linear) drag of the equivalent sphere
+    eq_d = 2.0 / 3.0 * jnp.sum(semi, axis=1)
+    i_max = 8.0 / 15.0 * pi * d_mid * d_max ** 4
+    ii = 8.0 / 15.0 * pi * semi * jnp.stack(
+        [jnp.maximum(semi[:, 1], semi[:, 2]),
+         jnp.maximum(semi[:, 2], semi[:, 0]),
+         jnp.maximum(semi[:, 0], semi[:, 1])], axis=1) ** 4
+    mom_visc = ang * (angd[:, None] * ii
+                      + slender[:, None] * (i_max[:, None] - ii))
+    drag_lin = viscosity * 3.0 * pi * eq_d \
+        + density * lin_norm * (a_proj * blunt
+                                + slender * (a_max - a_proj))
+    drag_ang = viscosity * pi * eq_d ** 3 \
+        + density * mmath.norm_safe(mom_visc, axis=1)
+    t_l = t_l - drag_ang[:, None] * ang
+    f_l = f_l + magnus_f + kutta_f - drag_lin[:, None] * lin
+
+    # rotate to world, move the application point from the geom origin to
+    # the body com, accumulate per body (mj_applyFT at geom_xpos)
+    f_w = jnp.einsum("gij,gj->gi", R, f_l)
+    t_w = jnp.einsum("gij,gj->gi", R, t_l) \
+        + jnp.cross(p - d.xipos[bidx], f_w)
+    xfrc = jnp.zeros((m.nbody, 6), dtype=dtype)
+    xfrc = xfrc.at[bidx, :3].add(f_w)
+    xfrc = xfrc.at[bidx, 3:].add(t_w)
+    return xfrc
 
 
 @functools.lru_cache(maxsize=128)
