@@ -113,7 +113,14 @@ ELLIPSOID_XML = """<mujoco>
    euler="0.2 0 1.4"/></body>
 <body pos="1 0 1"><joint type="ball" damping="0.1"/>
   <geom type="box" size="0.1 0.05 0.3" mass="2"/></body>
+<body pos="2 0 1"><freejoint/>
+  <geom type="sphere" size="0.08" fluidshape="ellipsoid" mass="0.3"/>
+  <geom type="box" size="0.05 0.05 0.05" mass="0.2" pos="0.2 0 0"/></body>
 </worldbody></mujoco>"""
+# the third body mixes one fluid-active and one inactive geom: mj_passive
+# switches the WHOLE body to the ellipsoid model, and the inactive geom
+# contributes nothing (not inertia-box forces) — the parity tests cover
+# that semantics too
 
 
 def test_fluid_ellipsoid_coefs_parity():
@@ -175,7 +182,8 @@ def test_fluid_ellipsoid_qfrc_passive_parity():
 
 
 def test_fluid_ellipsoid_euler_trajectory():
-    qvel0 = np.array([1.0, -2.0, 3.0, 4.0, -1.0, 2.0, 3.0, -2.0, 1.0])
+    qvel0 = np.array([1.0, -2.0, 3.0, 4.0, -1.0, 2.0, 3.0, -2.0, 1.0,
+                      -1.5, 2.5, 1.0, 3.0, -4.0, 2.0])
     # atol: the ~1e-9-relative kappa-quadrature offset vs the oracle's
     # coefficients compounds over 500 steps
     _traj(ELLIPSOID_XML.format(integrator="Euler"), 500, atol=1e-6,
@@ -186,7 +194,8 @@ def test_fluid_ellipsoid_implicitfast_trajectory():
     """implicitfast folds the exact d qfrc_fluid/d qvel of the ellipsoid
     model into the implicit matrix via jacfwd; mirrors libmujoco's
     mjd_ellipsoidFluid analytical derivative."""
-    qvel0 = np.array([1.0, -2.0, 3.0, 4.0, -1.0, 2.0, 3.0, -2.0, 1.0])
+    qvel0 = np.array([1.0, -2.0, 3.0, 4.0, -1.0, 2.0, 3.0, -2.0, 1.0,
+                      -1.5, 2.5, 1.0, 3.0, -4.0, 2.0])
     _traj(ELLIPSOID_XML.format(integrator="implicitfast"), 500, atol=1e-6,
           qvel0=qvel0)
 
@@ -212,3 +221,22 @@ def test_wind_pushes_light_body():
     for _ in range(400):
         d = step(d)
     assert float(d.qvel[0]) > 0.05
+
+
+def test_fluid_ellipsoid_grad_safe_at_rest():
+    """The implicit-matrix derivative of the ellipsoid model (jacfwd
+    through _fluid_qfrc) must be finite at qvel == 0, where the projected
+    cross-section A_proj has a sqrt(0) kink (mjd_ellipsoidFluid handles
+    the same limit analytically)."""
+    xml = ELLIPSOID_XML.format(integrator="Euler")
+    m = mrt.load_model_from_string(xml)
+    d = forward.make_data(m)
+    d = smooth.fwd_position_smooth(m, d)
+
+    def fluid_of_qvel(qvel):
+        dd = d.replace(qvel=qvel)
+        dd = smooth.com_vel(m, dd)
+        return smooth._fluid_qfrc(m, dd)
+
+    J = jax.jacfwd(fluid_of_qvel)(jnp.zeros(m.nv, dtype=d.qpos.dtype))
+    assert np.isfinite(np.asarray(J)).all()
